@@ -1,0 +1,88 @@
+"""CLI driver — renders a scene to PNG with wall-clock timing.
+
+Reference: process entries RTrace/main.swift:13-30 and
+Sources/gpuRaytracer/main.swift:13-91 (positional output-filename arg, render,
+PNG save, "Render completed in %.2f seconds" print). Everything the reference
+hardcodes is a flag here (SURVEY.md §5 config plan).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gpuraytracer-tpu",
+        description="TPU-native differentiable path tracer",
+    )
+    p.add_argument("output", nargs="?", default="output.png",
+                   help="output PNG filename (positional, like the reference)")
+    p.add_argument("--integrator", choices=["path", "mis", "direct"],
+                   default="path")
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=600)
+    p.add_argument("--spp", type=int, default=400)
+    p.add_argument("--bounces", type=int, default=3)
+    p.add_argument("--camera-rays", type=int, default=6)
+    p.add_argument("--mis-samples", type=int, default=300)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scene", choices=["cornell", "cornell-spheres"],
+                   default="cornell")
+    p.add_argument("--exposure", type=float, default=2.0,
+                   help="variant-B CPU tonemap exposure (image.swift:41)")
+    p.add_argument("--debug-output", default=None,
+                   help="write row-averaged HDR stats (debugOutput.txt analog)")
+    p.add_argument("--kernel", choices=["jnp", "pallas"], default="jnp",
+                   help="reference jnp path or the Pallas TPU kernel")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    from . import image as img
+    from .render import render_jit, tonemap_mis
+    from .scene import cornell_box, cornell_box_with_spheres
+    from .types import RenderConfig
+    from .utils.host import fetch
+
+    config = RenderConfig(
+        width=args.width, height=args.height, integrator=args.integrator,
+        spp=args.spp, bounces=args.bounces, camera_rays=args.camera_rays,
+        mis_samples=args.mis_samples, seed=args.seed,
+    )
+    if args.scene == "cornell":
+        scene = cornell_box(resolution=(args.width, args.height))
+    else:
+        scene = cornell_box_with_spheres(resolution=(args.width, args.height))
+
+    start = time.perf_counter()
+    if args.kernel == "pallas":
+        from .ops import render_path_pallas
+        hdr = jax.block_until_ready(render_path_pallas(scene, config))
+        out = None
+    else:
+        result = jax.block_until_ready(render_jit(scene, config))
+        hdr, out = result.hdr, result.ldr
+    elapsed = time.perf_counter() - start
+
+    hdr_np = fetch(hdr)
+    if out is not None:  # mis integrator tonemaps in-graph
+        img.write_png(args.output, img.to_uint8(fetch(out)))
+    else:
+        img.write_png(args.output, img.tonemap(hdr_np, exposure=args.exposure))
+    if args.debug_output:
+        img.write_debug_file(args.debug_output, hdr_np)
+
+    # Timing print (Sources/gpuRaytracer/main.swift:87-91).
+    print(f"Render completed in {elapsed:.2f} seconds")
+    print(f"Image saved to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
