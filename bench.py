@@ -1,0 +1,98 @@
+"""Benchmark harness — Mrays/s/chip fwd+bwd at 512^2 Cornell box.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+Ray accounting: the TPU kernels are fixed-shape — every (pixel, sample,
+bounce) lane computes one closest-hit AND one shadow query whether or not the
+lane is still alive, so nominal rays == executed ray-scene traversals:
+  rays/frame = W * H * spp * bounces * 2.
+(The reference's per-frame workload is derived the same way in BASELINE.md.)
+
+``vs_baseline``: the reference (Swift/Metal gpuRaytracer) publishes no
+numbers (BASELINE.md), so the recorded baseline is this framework's own
+round-1 pure-jnp XLA implementation on one TPU v5e chip — the number below.
+Values > 1 mean faster than that starting point.
+
+Timing methodology: the dev transport's ``block_until_ready`` is unreliable
+(returns early; identical executions may be memoized), so each timed step is
+chained through a data dependency (previous loss perturbs the next input) and
+the chain is forced by fetching the final scalar. Warmup compiles + one chain
+outside the timed region.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+# Round-1 pure-jnp XLA path on one TPU v5e chip (fwd+bwd, 512^2, 16 spp,
+# 3 bounces): 34.9 Mrays/s measured 2026-08-17 (HBM-bandwidth bound: every
+# [chunk, lanes] intermediate round-trips HBM). Do not move without noting it.
+BASELINE_MRAYS_S = 34.9
+
+WIDTH = HEIGHT = 512
+SPP = 16
+BOUNCES = 3
+ITERS = 4
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gpuraytracer_tpu.render import render
+    from gpuraytracer_tpu.scene import cornell_box
+    from gpuraytracer_tpu.types import RenderConfig
+
+    config = RenderConfig(width=WIDTH, height=HEIGHT, integrator="path",
+                          spp=SPP, bounces=BOUNCES, pixel_chunk=65536)
+    scene = jax.device_put(cornell_box(resolution=(WIDTH, HEIGHT)))
+
+    try:
+        from gpuraytracer_tpu.ops import render_path_pallas
+
+        def forward(s):
+            return render_path_pallas(s, config)
+    except Exception:
+        def forward(s):
+            return render(s, config).hdr
+
+    # fwd+bwd: gradient of mean radiance w.r.t. the full scene pytree
+    # (materials, light, geometry) — the inverse-rendering workload.
+    def loss(s):
+        return jnp.mean(forward(s))
+
+    # allow_int: camera.resolution is an int leaf; its cotangent is float0.
+    vg = jax.value_and_grad(loss, allow_int=True)
+
+    @jax.jit
+    def step(s, eps):
+        light = dataclasses.replace(s.light, color=s.light.color * (1.0 + eps))
+        l, _ = vg(dataclasses.replace(s, light=light))
+        return l
+
+    def run_chain(n: int) -> float:
+        l = jnp.float32(0.0)
+        for _ in range(n):
+            l = step(scene, l * 1e-7)
+        return float(l)  # forces the whole chain
+
+    run_chain(1)  # compile + warm outside the timed region
+    t0 = time.perf_counter()
+    run_chain(ITERS)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    rays = WIDTH * HEIGHT * SPP * BOUNCES * 2
+    mrays = rays / dt / 1e6
+    print(json.dumps({
+        "metric": f"Mrays/s/chip fwd+bwd {WIDTH}x{HEIGHT} cornell "
+                  f"{SPP}spp {BOUNCES}bounce path",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -166,7 +166,11 @@ def _sphere_candidates(
     b = 2.0 * jnp.sum(oc * d, axis=-1)
     c = jnp.sum(oc * oc, axis=-1) - spheres.radius * spheres.radius
     disc = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Double-where: sqrt'(0) is inf and would leak NaN into reverse-mode
+    # gradients of *masked-out* rays (0 * inf); keep the unselected branch
+    # finite and differentiable.
+    pos = disc > 0.0
+    sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
     t1 = (-b - sq) / (2.0 * a)
     t2 = (-b + sq) / (2.0 * a)
     t1_ok = (t1 > t_min) & (t1 < t_max)
@@ -216,12 +220,15 @@ def closest_hit(
         sph_idx = jnp.clip(prim - num_tri, 0, spheres.num_spheres - 1)
         tri_idx = jnp.clip(prim, 0, num_tri - 1)
         # Sphere normal: (hit_point - center) / radius — differentiable
-        # w.r.t. center (shaders_old.metal:122-123).
-        hit_point = origin + t_hit[..., None] * direction
+        # w.r.t. center (shaders_old.metal:122-123). t is clamped to 0 on
+        # misses before use so the unselected branch stays finite in both
+        # primal and reverse mode (t_hit is BIG on miss).
+        t_safe = jnp.where(hit & is_sphere, t_hit, 0.0)
+        hit_point = origin + t_safe[..., None] * direction
         center = take(spheres.center, sph_idx)
         to_hit = hit_point - center
         sph_normal = to_hit * jax.lax.rsqrt(
-            jnp.maximum(dot(to_hit, to_hit), 1e-30)
+            jnp.maximum(dot(to_hit, to_hit), 1e-6)
         )[..., None]
         sel = is_sphere[..., None]
         normal = jnp.where(sel, sph_normal, take(scene.n, tri_idx))

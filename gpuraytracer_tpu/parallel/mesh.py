@@ -55,12 +55,6 @@ def render_path_sharded(scene: Scene, config: RenderConfig, mesh: Mesh):
     return hdr.reshape(config.height, config.width, 3)
 
 
-def render_path_sharded_jit(scene: Scene, config: RenderConfig, mesh: Mesh):
-    fn = jax.jit(render_path_sharded, static_argnums=(1,), static_argnames=())
-    # Mesh is unhashable-stable enough via closure: wrap instead.
-    raise NotImplementedError  # use make_sharded_renderer
-
-
 def make_sharded_renderer(config: RenderConfig, mesh: Mesh):
     """jit-compiled sharded renderer: scene -> [H, W, 3]."""
     def fn(scene: Scene):

@@ -1,0 +1,52 @@
+"""Sharded inverse-rendering training step (the "full training step" of this
+framework: forward render + pixel loss + backward + optimizer update, with
+pixels sharded over the ``rays`` mesh axis and scene parameters replicated).
+
+Gradient flow: jax.grad differentiates *through* the shard_map'd renderer;
+XLA inserts the parameter-gradient all-reduce (psum over ``rays``) because the
+parameters are replicated while the loss pixels are sharded — the TPU-native
+analog of DDP gradient all-reduce, riding ICI collectives (SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..grad.inverse import SceneParams, apply_params
+from ..types import RenderConfig, Scene
+from .mesh import render_path_sharded
+
+
+class TrainState(NamedTuple):
+    params: SceneParams
+    opt_state: tuple
+
+
+def make_train_step(scene: Scene, config: RenderConfig, mesh,
+                    learning_rate: float = 1e-2, optimizer=None):
+    """Returns (init_fn, step_fn):
+      init_fn(params) -> TrainState
+      step_fn(state, target_hdr) -> (TrainState, loss)
+    step_fn is jitted inside the mesh context."""
+    import optax
+
+    opt = optimizer or optax.adam(learning_rate)
+
+    def loss_fn(params: SceneParams, target: jnp.ndarray) -> jnp.ndarray:
+        s = apply_params(scene, params)
+        img = render_path_sharded(s, config, mesh)
+        return jnp.mean((img - target) ** 2)
+
+    def init_fn(params: SceneParams) -> TrainState:
+        return TrainState(params=params, opt_state=opt.init(params))
+
+    @jax.jit
+    def step_fn(state: TrainState, target: jnp.ndarray):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, target)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state), loss
+
+    return init_fn, step_fn

@@ -38,6 +38,14 @@ class RenderOutput(NamedTuple):
     ldr: Optional[jnp.ndarray]  # [H, W, 3] f32 in [0,1] (mis integrator only)
 
 
+def _zeros3(ref: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] zeros derived arithmetically from ``ref`` [...] so loop-carry
+    initializers keep the same device-varying status as loop bodies under
+    shard_map manual axes."""
+    return jnp.broadcast_to((ref.astype(_F32) * 0.0)[..., None],
+                            ref.shape + (3,))
+
+
 # ---------------------------------------------------------------------------
 # Shared helpers
 # ---------------------------------------------------------------------------
@@ -88,10 +96,10 @@ def _path_trace_chunk(
     light = scene.light
     spheres = scene.spheres if scene.spheres.num_spheres > 0 else None
 
-    def one_sample(n, lum):
+    def one_sample(lum, n):
         # Per-sample jitter: Halton dims 0,1 at index offset+n
         # (raytrace.metal:37-40).
-        i_halton = offsets + jnp.uint32(n)
+        i_halton = offsets + n
         uv = jnp.stack([smp.halton(i_halton, 0), smp.halton(i_halton, 1)], axis=-1)
         o, d = smp.generate_camera_ray(
             cam.position, cam.direction, cam.up, config.resolution,
@@ -113,7 +121,11 @@ def _path_trace_chunk(
             surf = active & ~h.is_emissive
 
             normal = h.normal
-            point = o + d * h.t[..., None] + normal * 1e-3
+            # t clamped to 0 on dead lanes: their shading math still executes
+            # (fixed-shape masking) and must stay finite so reverse-mode AD
+            # doesn't pick up 0 * inf NaNs from overflowed positions.
+            t_safe = jnp.where(surf, h.t, 0.0)
+            point = o + d * t_safe[..., None] + normal * 1e-3
 
             # NEE: Halton dims 2 + bounce*5 + {0,1} (raytrace.metal:72-74).
             w = jnp.stack(
@@ -143,10 +155,16 @@ def _path_trace_chunk(
             d = jnp.where(surf[..., None], sdir, d)
             alive = surf
 
-        return lum + acc
+        return lum + acc, None
 
-    lum = jax.lax.fori_loop(
-        0, config.spp, one_sample, jnp.zeros(px.shape + (3,), _F32))
+    # Scan over samples with rematerialization: without jax.checkpoint the
+    # backward pass stores every bounce's [chunk, lanes] intermediates for
+    # all spp iterations (~GBs at 512^2/16spp); with it, backward recomputes
+    # each sample from the tiny carry (SURVEY.md §7 "Pallas backward at
+    # speed-of-light" — same policy applies to the jnp path).
+    lum, _ = jax.lax.scan(
+        jax.checkpoint(one_sample), _zeros3(px),
+        jnp.arange(config.spp, dtype=jnp.uint32))
     return lum / _F32(config.spp)
 
 
@@ -235,7 +253,7 @@ def _bounce_strategy(
     light_term = weight[..., None] * brdf * light.emitted_radiance * inv_pdf
 
     hit_geo = active & h.hit & ~h.is_emissive
-    bounce_point = origin + sample_dir * h.t[..., None]
+    bounce_point = origin + sample_dir * jnp.where(hit_geo, h.t, 0.0)[..., None]
     sec = _direct_light_contribution(
         compiled, scene, config, bounce_point, h.normal, sample_dir,
         h.diffuse, h.metallic, h.roughness, sec_u, 1, False, hit_geo,
@@ -272,7 +290,8 @@ def _mis_chunk(
             cam_hit_light[..., None], light.emitted_radiance, 0.0)
 
         surf = h.hit & ~h.is_emissive
-        point = o + d * h.t[..., None]  # NOT normal-offset (shaders.metal:497)
+        # NOT normal-offset (shaders.metal:497); t clamped on dead lanes.
+        point = o + d * jnp.where(surf, h.t, 0.0)[..., None]
         args = (point, h.normal, d, h.diffuse, h.metallic, h.roughness)
 
         def strategies(carry, per_sample):
@@ -308,8 +327,8 @@ def _mis_chunk(
         per_sample = (tables["light_u"], tables["cosine_u"],
                       tables["cosine_sec_u"], tables["vndf_u"],
                       tables["vndf_sec_u"])
-        mis_sum, _ = jax.lax.scan(
-            strategies, jnp.zeros(px.shape + (3,), _F32), per_sample)
+        mis_sum, _ = jax.lax.scan(jax.checkpoint(strategies), _zeros3(px),
+                                  per_sample)
         sampled = mis_sum / _F32(s_per)
         accumulated = accumulated + jnp.where(surf[..., None], sampled, 0.0)
 

@@ -119,8 +119,10 @@ def halton(i: jnp.ndarray, d: int) -> jnp.ndarray:
         r = r + f * (i % _U32(b)).astype(_F32)
         return f, r, i // _U32(b)
 
-    f0 = jnp.ones(i.shape, _F32)
-    r0 = jnp.zeros(i.shape, _F32)
+    # Derive the initial carry from ``i`` so its device-varying status matches
+    # the loop body's outputs under shard_map manual axes.
+    r0 = i.astype(_F32) * 0.0
+    f0 = r0 + 1.0
     _, r, _ = jax.lax.fori_loop(0, _halton_digits(b), body, (f0, r0, i),
                                 unroll=True)
     return r
