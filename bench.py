@@ -27,9 +27,11 @@ import json
 import time
 
 # Round-1 pure-jnp XLA path on one TPU v5e chip (fwd+bwd, 512^2, 16 spp,
-# 3 bounces): 34.9 Mrays/s measured 2026-08-17 (HBM-bandwidth bound: every
-# [chunk, lanes] intermediate round-trips HBM). Do not move without noting it.
-BASELINE_MRAYS_S = 34.9
+# 3 bounces): 13.4 Mrays/s measured 2026-08-17 with the backward pass kept
+# live (HBM-bandwidth bound: every [chunk, lanes] intermediate round-trips
+# HBM). Forward-only, the Pallas megakernel does 612 Mrays/s vs jnp's ~36.
+# Do not move this constant without noting it.
+BASELINE_MRAYS_S = 13.4
 
 WIDTH = HEIGHT = 512
 SPP = 16
@@ -40,6 +42,9 @@ ITERS = 4
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    from gpuraytracer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from gpuraytracer_tpu.render import render
     from gpuraytracer_tpu.scene import cornell_box
@@ -69,8 +74,12 @@ def main() -> None:
     @jax.jit
     def step(s, eps):
         light = dataclasses.replace(s.light, color=s.light.color * (1.0 + eps))
-        l, _ = vg(dataclasses.replace(s, light=light))
-        return l
+        l, grads = vg(dataclasses.replace(s, light=light))
+        # Fold a gradient reduction into the returned scalar so the backward
+        # pass cannot be dead-code-eliminated.
+        gsum = sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(grads)
+                   if hasattr(x, "dtype") and x.dtype == jnp.float32)
+        return l + 0.0 * gsum
 
     def run_chain(n: int) -> float:
         l = jnp.float32(0.0)

@@ -44,6 +44,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from . import image as img
     from .render import render_jit, tonemap_mis
     from .scene import cornell_box, cornell_box_with_spheres

@@ -1,0 +1,3 @@
+"""Pallas TPU kernels for the hot paths."""
+from .pallas_path import (render_path_pallas, render_path_pallas_interpret,
+                          TILE)

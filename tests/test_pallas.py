@@ -1,0 +1,81 @@
+"""Pallas kernel parity: interpret-mode kernel vs the jnp oracle at fixed
+seeds (SURVEY.md §4.2 — every kernel gets an interpret=True CPU run and an
+allclose check against the pure-jnp implementation)."""
+import jax
+import numpy as np
+import pytest
+
+from gpuraytracer_tpu.ops import render_path_pallas_interpret
+from gpuraytracer_tpu.render import render
+from gpuraytracer_tpu.scene import cornell_box
+from gpuraytracer_tpu.types import RenderConfig
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_box(resolution=(32, 16))
+
+
+def _cfg(**kw):
+    # Interpret-mode kernel execution is slow (~20 s per spp x bounce unit),
+    # so parity configs stay minimal; the TPU path is timed in bench.py.
+    base = dict(width=32, height=16, integrator="path", spp=1, bounces=3,
+                pixel_chunk=512)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_kernel_matches_jnp_oracle(scene):
+    cfg = _cfg()
+    oracle = np.asarray(render(scene, cfg).hdr)
+    kernel = np.asarray(render_path_pallas_interpret(scene, cfg))
+    np.testing.assert_allclose(kernel, oracle, atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_matches_oracle_one_bounce(scene):
+    cfg = _cfg(bounces=1, spp=2)
+    oracle = np.asarray(render(scene, cfg).hdr)
+    kernel = np.asarray(render_path_pallas_interpret(scene, cfg))
+    np.testing.assert_allclose(kernel, oracle, atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_nonsquare_non_tile_multiple():
+    """Pixel count not divisible by TILE exercises the padding path."""
+    scene = cornell_box(resolution=(24, 18))  # 432 px < TILE
+    cfg = _cfg(width=24, height=18, spp=1)
+    oracle = np.asarray(render(scene, cfg).hdr)
+    kernel = np.asarray(render_path_pallas_interpret(scene, cfg))
+    assert kernel.shape == (18, 24, 3)
+    np.testing.assert_allclose(kernel, oracle, atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_seed_sensitivity(scene):
+    a = np.asarray(render_path_pallas_interpret(scene, _cfg(seed=0, bounces=1)))
+    b = np.asarray(render_path_pallas_interpret(scene, _cfg(seed=3, bounces=1)))
+    assert not np.array_equal(a, b)
+
+
+def test_kernel_backward_matches_jnp_grad(scene):
+    """The custom VJP (jnp fallback) produces the oracle's gradients."""
+    import dataclasses
+    import jax.numpy as jnp
+    from gpuraytracer_tpu.ops.pallas_path import _render_pallas_impl
+    from gpuraytracer_tpu.ops import render_path_pallas
+
+    cfg = _cfg(spp=1, bounces=1)
+
+    def loss_pallas(color):
+        light = dataclasses.replace(scene.light, color=color)
+        s = dataclasses.replace(scene, light=light)
+        return jnp.mean(render_path_pallas(s, cfg))
+
+    def loss_jnp(color):
+        light = dataclasses.replace(scene.light, color=color)
+        s = dataclasses.replace(scene, light=light)
+        return jnp.mean(render(s, cfg).hdr)
+
+    c = jnp.asarray(scene.light.color)
+    # Forward runs the (interpreted on CPU) kernel; backward the jnp VJP.
+    g_k = np.asarray(jax.grad(loss_pallas)(c))
+    g_j = np.asarray(jax.grad(loss_jnp)(c))
+    np.testing.assert_allclose(g_k, g_j, atol=1e-7, rtol=1e-5)
