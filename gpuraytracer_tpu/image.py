@@ -33,13 +33,18 @@ def to_uint8(ldr: np.ndarray) -> np.ndarray:
 
 
 def write_png(path: str, rgb: np.ndarray) -> None:
-    """Minimal dependency-free PNG writer (RGB8 or RGBA8). Replaces the
-    CGImage/ImageIO pipeline (image.swift:68-99)."""
+    """PNG writer (RGB8 or RGBA8). Replaces the CGImage/ImageIO pipeline
+    (image.swift:68-99). Uses the native C++ encoder when built; pure-python
+    zlib otherwise."""
     rgb = np.asarray(rgb)
     if rgb.dtype != np.uint8:
         rgb = to_uint8(rgb)
     if rgb.ndim != 3 or rgb.shape[2] not in (3, 4):
         raise ValueError(f"expected [H, W, 3|4] uint8, got {rgb.shape}")
+    from . import native
+    if native.available():
+        native.write_png(path, rgb)
+        return
     h, w, c = rgb.shape
     color_type = 2 if c == 3 else 6
 

@@ -1,3 +1,4 @@
 """Pallas TPU kernels for the hot paths."""
 from .pallas_path import (render_path_pallas, render_path_pallas_interpret,
                           TILE)
+from .decoupled import render_path_decoupled, shade_replay, trace_records

@@ -86,9 +86,15 @@ def _normalize3(x, y, z):
 
 
 def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
+                 emit_records: bool,
                  offsets_ref, cam_ref, light_ref, tri_ref,
-                 out_r_ref, out_g_ref, out_b_ref):
-    """One [RAY_SUB, 128] tile of rays: full spp x bounces path trace."""
+                 out_r_ref, out_g_ref, out_b_ref, *rec_refs):
+    """One [RAY_SUB, 128] tile of rays: full spp x bounces path trace.
+
+    With ``emit_records``, also writes one int32 visibility record per
+    (sample, bounce, ray): code = (winning prim + 1) + 512 * shadow_occluded
+    (0 = miss). The records replay the kernel's discrete decisions in a cheap
+    differentiable jnp shading pass (ops/decoupled.py) — the fwd+bwd path."""
     W = config.width
     H = config.height
     he = _F32(config.area_light_half_extent)
@@ -115,14 +121,15 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
     def closest(ox, oy, oz, dx, dy, dz):
         """Running-min closest hit over the static triangle loop. Returns
-        (hit, t, normal xyz, diffuse rgb, emissive rgb, is_em)."""
+        (hit, t, prim_f, normal xyz, diffuse rgb, emissive rgb, is_em)."""
         t_best = jnp.full((RAY_SUB, LANES), BIG, _F32)
         nhx = t_best * 0.0
         nhy, nhz = nhx, nhx
         dfr, dfg, dfb = nhx, nhx, nhx
         emr, emg, emb = nhx, nhx, nhx
         isem = nhx
-        for tri in tris:
+        prim_f = nhx - 1.0  # winning primitive index as f32, -1 = miss
+        for t_idx, tri in enumerate(tris):
             (nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2,
              dr, dg, db, sem, er, eg, eb) = tri
             den = dx * nx + dy * ny + dz * nz
@@ -147,8 +154,10 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             emg = jnp.where(closer, eg, emg)
             emb = jnp.where(closer, eb, emb)
             isem = jnp.where(closer, sem, isem)
+            prim_f = jnp.where(closer, _F32(t_idx), prim_f)
         hit = t_best < BIG * 0.5
-        return hit, t_best, nhx, nhy, nhz, dfr, dfg, dfb, emr, emg, emb, isem
+        return (hit, t_best, prim_f, nhx, nhy, nhz, dfr, dfg, dfb,
+                emr, emg, emb, isem)
 
     def occluded_q(ox, oy, oz, dx, dy, dz, t_max):
         """Shadow any-hit with per-ray t_max (raytrace.metal:79-85)."""
@@ -167,9 +176,9 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
         return occ
 
-    def one_sample(n, carry):
+    def one_sample(n_i32, carry):
         acc_r, acc_g, acc_b = carry
-        ih = off + n
+        ih = off + n_i32.astype(_U32)
         jx = _halton_tile(ih, 0)
         jy = _halton_tile(ih, 1)
 
@@ -191,7 +200,7 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         alive = in_image
 
         for bounce in range(config.bounces):
-            (hit, t_hit, nhx, nhy, nhz, dfr, dfg, dfb,
+            (hit, t_hit, prim_f, nhx, nhy, nhz, dfr, dfg, dfb,
              emr, emg, emb, isem) = closest(ox, oy, oz, dx, dy, dz)
             is_em = isem > 0.5
             active = alive & hit
@@ -228,6 +237,10 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             col_b = jnp.where(surf, col_b * dfb, col_b)
 
             occ = occluded_q(hx, hy, hz, ldx, ldy, ldz, ldist - 1e-3)
+            if emit_records:
+                code = (prim_f + 1.0) + jnp.where(occ, _F32(512.0), _F32(0.0))
+                rec_refs[0][pl.ds((n_i32 * config.bounces + bounce) * RAY_SUB,
+                                  RAY_SUB), :] = code.astype(_I32)
             contrib = surf & ~occ
             w_c = jnp.where(contrib, gain, 0.0)
             a_r = a_r + lr * w_c * col_r
@@ -267,8 +280,7 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
     zero = px * 0.0
     acc_r, acc_g, acc_b = jax.lax.fori_loop(
-        0, config.spp, lambda n, c: one_sample(jnp.uint32(n), c),
-        (zero, zero, zero))
+        0, config.spp, one_sample, (zero, zero, zero))
     inv_spp = _F32(1.0 / config.spp)
     out_r_ref[...] = acc_r * inv_spp
     out_g_ref[...] = acc_g * inv_spp
@@ -310,7 +322,7 @@ def _pack_inputs(scene: Scene, config: RenderConfig):
 
 
 def _render_pallas_impl(scene: Scene, config: RenderConfig,
-                        interpret=None) -> jnp.ndarray:
+                        interpret=None, emit_records: bool = False):
     if interpret is None:
         # Mosaic only targets TPU; interpret elsewhere so the same entry
         # point runs in CPU CI.
@@ -324,11 +336,20 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     offsets = pixel_rng_offsets(config)
     offsets = jnp.pad(offsets, (0, n_padded - n_pixels)).reshape(-1, LANES)
 
-    kernel = partial(_path_kernel, config, n_pixels, num_tris)
+    kernel = partial(_path_kernel, config, n_pixels, num_tris, emit_records)
     plane = jax.ShapeDtypeStruct((n_padded // LANES, LANES), _F32)
     out_specs = pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    r, g, b = pl.pallas_call(
+    out_shapes = [plane, plane, plane]
+    out_spec_list = [out_specs, out_specs, out_specs]
+    if emit_records:
+        nsb = config.spp * config.bounces
+        out_shapes.append(jax.ShapeDtypeStruct(
+            ((n_padded // LANES) * nsb, LANES), jnp.int32))
+        out_spec_list.append(
+            pl.BlockSpec((RAY_SUB * nsb, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -341,12 +362,22 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
             pl.BlockSpec((NROWS, num_tris), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),        # triangles
         ],
-        out_specs=(out_specs, out_specs, out_specs),
-        out_shape=(plane, plane, plane),
+        out_specs=tuple(out_spec_list),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
     )(offsets, cam_vec, light_vec, tri)
+    r, g, b = outs[:3]
     hdr = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
-    return hdr[:n_pixels].reshape(config.height, config.width, 3)
+    hdr = hdr[:n_pixels].reshape(config.height, config.width, 3)
+    if not emit_records:
+        return hdr
+    # Decode records: rows are [tile, sample, bounce, RAY_SUB] x LANES; pixel
+    # id within a tile is sub * LANES + lane.
+    rec = outs[3].reshape(grid[0], config.spp, config.bounces,
+                          RAY_SUB * LANES)
+    rec = jnp.moveaxis(rec, 0, 2).reshape(
+        config.spp, config.bounces, n_padded)[:, :, :n_pixels]
+    return hdr, rec
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))

@@ -1,0 +1,103 @@
+"""Progressive/resumable rendering + optimizer checkpointing (SURVEY.md §5).
+
+The reference has no checkpointing; its closest aspiration is the commented
+"temporal accumulation" note (RTrace/sampling.metal:127-128: keep a running
+average across frames). Here that becomes a first-class explicit pytree: a
+sample accumulator (radiance sum + sample count) that can be saved/loaded, so
+
+  * long renders are resumable after preemption (render N more spp, save),
+  * progressive preview is the same mechanism (tonemap sum/count anytime),
+  * inverse-rendering optimizer state checkpoints ride the same API.
+
+Serialization is plain .npz of flattened pytrees — no service dependencies.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..render import render
+from ..types import RenderConfig, Scene
+
+
+class Accumulator(NamedTuple):
+    """Running radiance accumulator: mean = radiance_sum / spp_done."""
+
+    radiance_sum: jnp.ndarray  # [H, W, 3] f32
+    spp_done: jnp.ndarray  # scalar i32
+    seed_cursor: jnp.ndarray  # scalar i32 — next sample-offset seed
+
+
+def init_accumulator(config: RenderConfig) -> Accumulator:
+    return Accumulator(
+        radiance_sum=jnp.zeros((config.height, config.width, 3), jnp.float32),
+        spp_done=jnp.int32(0),
+        seed_cursor=jnp.int32(0),
+    )
+
+
+def accumulate(scene: Scene, config: RenderConfig, acc: Accumulator,
+               spp_step: int) -> Accumulator:
+    """Render ``spp_step`` more samples and fold them into the accumulator.
+
+    Sample decorrelation across steps comes from advancing the config seed,
+    which re-derives the per-pixel Halton offsets (render.pixel_rng_offsets)
+    — every step draws a fresh, deterministic sample set."""
+    step_cfg = config.replace(spp=spp_step,
+                              seed=config.seed + int(acc.seed_cursor))
+    hdr = render(scene, step_cfg).hdr
+    return Accumulator(
+        radiance_sum=acc.radiance_sum + hdr * spp_step,
+        spp_done=acc.spp_done + spp_step,
+        seed_cursor=acc.seed_cursor + 1,
+    )
+
+
+def resolve(acc: Accumulator) -> jnp.ndarray:
+    """Current mean radiance estimate [H, W, 3]."""
+    n = jnp.maximum(acc.spp_done, 1).astype(jnp.float32)
+    return acc.radiance_sum / n
+
+
+# ---------------------------------------------------------------------------
+# Generic pytree <-> .npz serialization
+# ---------------------------------------------------------------------------
+
+def save_pytree(path: str, tree: Any, meta: Optional[dict] = None) -> None:
+    leaves, treedef = jax.tree.flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8)
+    tmp = path + ".tmp"
+    np.savez(tmp, **arrays)
+    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+
+def load_pytree(path: str, like: Any) -> Tuple[Any, dict]:
+    """Load a pytree saved by save_pytree, structured like ``like``."""
+    data = np.load(path)
+    leaves, treedef = jax.tree.flatten(like)
+    loaded = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+    meta = json.loads(bytes(data["__meta__"]).decode()) if "__meta__" in data \
+        else {}
+    return jax.tree.unflatten(treedef, loaded), meta
+
+
+def save_accumulator(path: str, acc: Accumulator,
+                     config: RenderConfig) -> None:
+    save_pytree(path, acc, meta=dataclasses.asdict(config))
+
+
+def load_accumulator(path: str, config: RenderConfig) -> Accumulator:
+    acc, meta = load_pytree(path, init_accumulator(config))
+    stored = {k: meta.get(k) for k in ("width", "height", "integrator")}
+    current = {k: getattr(config, k) for k in stored}
+    if stored != current:
+        raise ValueError(f"checkpoint config mismatch: {stored} != {current}")
+    return acc

@@ -1,0 +1,92 @@
+"""Checkpoint/resume, metrics, host helpers."""
+import numpy as np
+import pytest
+
+from gpuraytracer_tpu.scene import cornell_box
+from gpuraytracer_tpu.types import RenderConfig
+from gpuraytracer_tpu.utils import checkpoint as ckpt
+from gpuraytracer_tpu.utils.metrics import (MetricLogger, mrays_per_s,
+                                            nominal_rays, timed)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_box(resolution=(16, 16))
+
+
+def _cfg(**kw):
+    base = dict(width=16, height=16, integrator="path", spp=4, bounces=2,
+                pixel_chunk=256)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_progressive_accumulation_matches_mc_statistics(scene):
+    """Accumulating 2x4 spp across steps gives the sample mean of the union
+    of the two sample sets (different seeds per step)."""
+    cfg = _cfg()
+    acc = ckpt.init_accumulator(cfg)
+    acc = ckpt.accumulate(scene, cfg, acc, 4)
+    acc = ckpt.accumulate(scene, cfg, acc, 4)
+    assert int(acc.spp_done) == 8
+    img = np.asarray(ckpt.resolve(acc))
+    assert img.shape == (16, 16, 3)
+    assert np.all(np.isfinite(img))
+    # The two steps used different seeds => not just the first step repeated.
+    from gpuraytracer_tpu.render import render
+    single = np.asarray(render(scene, cfg).hdr)
+    assert not np.array_equal(img, single)
+
+
+def test_checkpoint_roundtrip(scene, tmp_path):
+    cfg = _cfg()
+    acc = ckpt.accumulate(scene, cfg, ckpt.init_accumulator(cfg), 4)
+    path = str(tmp_path / "acc.npz")
+    ckpt.save_accumulator(path, acc, cfg)
+    back = ckpt.load_accumulator(path, cfg)
+    np.testing.assert_array_equal(np.asarray(back.radiance_sum),
+                                  np.asarray(acc.radiance_sum))
+    assert int(back.spp_done) == 4
+    # Resume: render 4 more on the restored state.
+    resumed = ckpt.accumulate(scene, cfg, back, 4)
+    assert int(resumed.spp_done) == 8
+
+
+def test_checkpoint_config_mismatch(scene, tmp_path):
+    cfg = _cfg()
+    acc = ckpt.init_accumulator(cfg)
+    path = str(tmp_path / "acc.npz")
+    ckpt.save_accumulator(path, acc, cfg)
+    with pytest.raises(ValueError):
+        ckpt.load_accumulator(path, _cfg(width=32))
+
+
+def test_nominal_rays():
+    assert nominal_rays(_cfg()) == 16 * 16 * 4 * 2 * 2
+    assert nominal_rays(_cfg(integrator="direct")) == 16 * 16 * 4 * 2
+    mis = _cfg(integrator="mis", camera_rays=2, mis_samples=30)
+    assert nominal_rays(mis) == 16 * 16 * 2 * (1 + 60)
+    assert mrays_per_s(_cfg(), 1.0) == pytest.approx(
+        nominal_rays(_cfg()) / 1e6)
+
+
+def test_metric_logger(tmp_path):
+    log = MetricLogger(path=str(tmp_path / "metrics.jsonl"))
+    with timed(log, "block", phase="test"):
+        pass
+    log.log("custom", 42, unit="count")
+    lines = open(tmp_path / "metrics.jsonl").read().strip().splitlines()
+    assert len(lines) == 2
+    import json
+    rec = json.loads(lines[1])
+    assert rec["metric"] == "custom" and rec["value"] == 42
+
+
+def test_fetch_helper(scene):
+    import jax.numpy as jnp
+    from gpuraytracer_tpu.utils.host import fetch, fetch_tree
+    x = jnp.arange(12.0).reshape(3, 4)
+    np.testing.assert_array_equal(fetch(x), np.arange(12.0).reshape(3, 4))
+    tree = {"a": x, "b": jnp.ones(2)}
+    out = fetch_tree(tree)
+    assert isinstance(out["a"], np.ndarray)
