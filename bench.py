@@ -55,10 +55,12 @@ def main() -> None:
     scene = jax.device_put(cornell_box(resolution=(WIDTH, HEIGHT)))
 
     try:
-        from gpuraytracer_tpu.ops import render_path_pallas
+        # Fastest correct fwd+bwd: Pallas trace kernel + differentiable jnp
+        # replay (ops/decoupled.py). Gradients == jax.grad of the oracle.
+        from gpuraytracer_tpu.ops import render_path_decoupled
 
         def forward(s):
-            return render_path_pallas(s, config)
+            return render_path_decoupled(s, config)
     except Exception:
         def forward(s):
             return render(s, config).hdr

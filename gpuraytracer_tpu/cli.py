@@ -35,8 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="variant-B CPU tonemap exposure (image.swift:41)")
     p.add_argument("--debug-output", default=None,
                    help="write row-averaged HDR stats (debugOutput.txt analog)")
-    p.add_argument("--kernel", choices=["jnp", "pallas"], default="jnp",
-                   help="reference jnp path or the Pallas TPU kernel")
+    p.add_argument("--kernel", choices=["jnp", "pallas", "decoupled"],
+                   default="jnp",
+                   help="reference jnp path, the Pallas TPU kernel, or the "
+                        "differentiable decoupled trace+replay path")
     return p
 
 
@@ -64,8 +66,24 @@ def main(argv=None) -> int:
 
     start = time.perf_counter()
     if args.kernel == "pallas":
-        from .ops import render_path_pallas
-        hdr = jax.block_until_ready(render_path_pallas(scene, config))
+        if args.integrator == "mis":
+            from .ops import render_mis_pallas
+            acc = jax.block_until_ready(render_mis_pallas(scene, config))
+            hdr, out = acc, tonemap_mis(acc, config.camera_rays,
+                                        scene.camera.ev100)
+        else:
+            from .ops import render_path_pallas
+            cfg = (config.replace(bounces=1)
+                   if args.integrator == "direct" else config)
+            hdr = jax.block_until_ready(render_path_pallas(scene, cfg))
+            out = None
+    elif args.kernel == "decoupled":
+        from .ops import render_path_decoupled
+        cfg = (config.replace(bounces=1)
+               if args.integrator == "direct" else config)
+        if args.integrator == "mis":
+            raise SystemExit("--kernel decoupled supports path/direct only")
+        hdr = jax.block_until_ready(render_path_decoupled(scene, cfg))
         out = None
     else:
         result = jax.block_until_ready(render_jit(scene, config))

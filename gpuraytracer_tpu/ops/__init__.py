@@ -1,4 +1,5 @@
 """Pallas TPU kernels for the hot paths."""
 from .pallas_path import (render_path_pallas, render_path_pallas_interpret,
                           TILE)
+from .pallas_mis import render_mis_pallas, render_mis_pallas_interpret
 from .decoupled import render_path_decoupled, shade_replay, trace_records

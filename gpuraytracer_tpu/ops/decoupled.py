@@ -5,22 +5,27 @@ Pallas kernels are not differentiable by jax AD. Instead of hand-deriving a
 backward kernel, the renderer is split at the discrete/continuous boundary:
 
   1. **Trace (Pallas, non-differentiable by construction):** the kernel
-     replays the full path trace and emits one int32 *visibility record* per
-     (sample, bounce, pixel): winning primitive id + shadow-occlusion bit.
-     These are exactly the discrete decisions AD treats as constants anyway
-     (argmin winners and boolean visibility are piecewise constant).
+     replays the full path trace and emits, per (sample, bounce, pixel), one
+     int32 *visibility record* (winning primitive id + shadow-occlusion bit)
+     plus the raw random draws (NEE / cosine / jitter uv). The records are
+     exactly the discrete decisions AD treats as constants anyway (argmin
+     winners and boolean visibility are piecewise constant); the uv planes
+     save the replay from recomputing Halton digits — the dominant cost of a
+     jnp replay (u32 div/mod chains on [rays]-sized arrays).
 
   2. **Shade (jnp, differentiable):** radiance is recomputed from the
      records: hit distance from the recorded primitive's plane equation
      (differentiable w.r.t. geometry), NEE falloff/cos from the recomputed
      hit position, diffuse/emissive by gather — the same math as the jnp
-     oracle minus all [rays, triangles] intersection work, so both the
-     shading forward and its backward touch only [rays]-sized arrays.
+     oracle minus all [rays, triangles] intersection work and all RNG, so
+     both the shading forward and its backward touch only [rays]-sized
+     arrays of pure arithmetic.
 
 Gradients from AD over the shade pass are IDENTICAL to jax.grad of the jnp
 reference renderer (asserted in tests), because the reference's gradient also
-treats visibility as piecewise constant. fwd+bwd cost ~= one kernel launch +
-a bandwidth-light jnp pass instead of the oracle's HBM-bound recompute.
+treats visibility as piecewise constant. The sample axis is processed in
+vectorized chunks (scan over chunks, samples dense inside) — big fusion
+bodies without a 1-sample serial scan, bounded live memory at high spp.
 """
 from __future__ import annotations
 
@@ -31,9 +36,9 @@ import jax.numpy as jnp
 
 from .. import sampling as smp
 from ..intersect import compile_scene
-from ..render import _zeros3, pixel_coords, pixel_rng_offsets
+from ..render import _zeros3, pixel_coords
 from ..types import RenderConfig, Scene
-from .pallas_path import _render_pallas_impl
+from .pallas_path import TraceAux, _render_pallas_impl
 
 _F32 = jnp.float32
 
@@ -41,51 +46,79 @@ OCC_BIT = 512  # record code = prim + 1 + OCC_BIT * occluded
 
 
 def trace_records(scene: Scene, config: RenderConfig, interpret=None):
-    """Run the megakernel emitting visibility records. Returns
-    (hdr [H, W, 3], records [spp, bounces, N] int32). Non-differentiable —
-    callers stop_gradient the scene."""
+    """Run the megakernel emitting visibility records + random draws.
+    Returns (hdr [H, W, 3], TraceAux). Non-differentiable — callers
+    stop_gradient the scene."""
     return _render_pallas_impl(jax.lax.stop_gradient(scene), config,
                                interpret=interpret, emit_records=True)
 
 
-def shade_replay(scene: Scene, records: jnp.ndarray,
+def _sample_chunk(config: RenderConfig):
+    """Largest divisor of spp not exceeding the configured chunk."""
+    c = min(config.replay_sample_chunk, config.spp)
+    while config.spp % c:
+        c -= 1
+    return c
+
+
+def shade_replay(scene: Scene, aux: TraceAux,
                  config: RenderConfig) -> jnp.ndarray:
-    """Differentiable radiance from visibility records. Mirrors
+    """Differentiable radiance from trace records. Mirrors
     render._path_trace_chunk with closest-hit/any-hit replaced by record
-    decode + per-primitive gathers."""
+    decode + per-primitive gathers, and all RNG replaced by the recorded
+    draws. Arrays are [C, N] (C = sample chunk) for dense VPU work."""
     compiled = compile_scene(scene.triangles, lane_pad=1)
     light = scene.light
     cam = scene.camera
     px, py = pixel_coords(config)
-    offsets = pixel_rng_offsets(config)
 
-    gather = lambda arr, idx: jnp.take(arr, idx, axis=0)
+    # Per-primitive shading constants packed into one [P, 11] table. The
+    # per-ray "gather" is a one-hot matmul on the MXU: TPU element gathers
+    # serialize (~1 elem/cycle) and their backward is a scatter; a one-hot
+    # contraction is a dense GEMM both ways, and exact for f32 one-hot
+    # (1.0 x table row reconstructs the row bit-for-bit under HIGHEST).
+    P = compiled.padded_size
+    table = jnp.concatenate([
+        compiled.n,                                   # 0:3  normal
+        compiled.c0[:, None],                         # 3    plane constant
+        compiled.diffuse,                             # 4:7
+        compiled.emissive,                            # 7:10
+        compiled.is_emissive.astype(_F32)[:, None],   # 10
+    ], axis=1)
 
-    def one_sample(lum, xs):
-        n, code_b = xs  # scalar uint32, [bounces, N] int32
-        i_halton = offsets + n
-        uv = jnp.stack([smp.halton(i_halton, 0), smp.halton(i_halton, 1)],
-                       axis=-1)
+    def gather_attrs(pc):
+        onehot = (pc[..., None] == jnp.arange(P, dtype=pc.dtype)).astype(_F32)
+        at = jax.lax.dot_general(
+            onehot, table, (((onehot.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        return (at[..., 0:3], at[..., 3], at[..., 4:7], at[..., 7:10],
+                at[..., 10] > 0.5)
+
+    chunk = _sample_chunk(config)
+    n_chunks = config.spp // chunk
+
+    def rs(x):  # [spp, ...] -> [n_chunks, chunk, ...]
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    def one_chunk(lum, xs):
+        code_b, nee0, nee1, cos0, cos1, jx, jy = xs  # [C, bounces?, N]
+        uv = jnp.stack([jx, jy], axis=-1)
         o, d = smp.generate_camera_ray(
             cam.position, cam.direction, cam.up, config.resolution,
-            cam.horizontal_fov, px, py, uv, config.integer_aspect)
+            cam.horizontal_fov, px[None, :], py[None, :], uv,
+            config.integer_aspect)
 
         color = jnp.ones(o.shape, _F32)
         acc = jnp.zeros(o.shape, _F32)
-        alive = jnp.ones(px.shape, bool)
+        alive = jnp.ones(uv.shape[:-1], bool)
 
         for bounce in range(config.bounces):
-            code = code_b[bounce]
+            code = code_b[:, bounce]
             occ = code >= OCC_BIT
             prim = code % OCC_BIT - 1
             hit = prim >= 0
-            pc = jnp.clip(prim, 0, compiled.padded_size - 1)
-
-            normal = gather(compiled.n, pc)
-            c0 = gather(compiled.c0, pc)
-            diffuse = gather(compiled.diffuse, pc)
-            emissive = gather(compiled.emissive, pc)
-            is_em = gather(compiled.is_emissive, pc)
+            pc = jnp.clip(prim, 0, P - 1)
+            normal, c0, diffuse, emissive, is_em = gather_attrs(pc)
 
             # Hit distance from the recorded primitive's plane equation —
             # differentiable w.r.t. the triangle's vertices.
@@ -101,9 +134,7 @@ def shade_replay(scene: Scene, records: jnp.ndarray,
             t_safe = jnp.where(surf, t, 0.0)
             point = o + d * t_safe[..., None] + normal * 1e-3
 
-            w = jnp.stack(
-                [smp.halton(i_halton, 2 + bounce * 5 + 0),
-                 smp.halton(i_halton, 2 + bounce * 5 + 1)], axis=-1)
+            w = jnp.stack([nee0[:, bounce], nee1[:, bounce]], axis=-1)
             lcol, ldir, _ = smp.sample_area_light(
                 light.center, light.color, light.normal, point, w,
                 config.area_light_half_extent)
@@ -112,20 +143,18 @@ def shade_replay(scene: Scene, records: jnp.ndarray,
             contrib = surf & ~occ
             acc = acc + jnp.where(contrib[..., None], lcol * color, 0.0)
 
-            u = jnp.stack(
-                [smp.halton(i_halton, 2 + bounce * 5 + 2),
-                 smp.halton(i_halton, 2 + bounce * 5 + 3)], axis=-1)
+            u = jnp.stack([cos0[:, bounce], cos1[:, bounce]], axis=-1)
             sdir = smp.align_hemisphere_with_normal(
                 smp.cosine_hemisphere_y_up(u), normal)
             o = jnp.where(surf[..., None], point, o)
             d = jnp.where(surf[..., None], sdir, d)
             alive = surf
 
-        return lum + acc, None
+        return lum + jnp.sum(acc, axis=0), None
 
-    lum, _ = jax.lax.scan(
-        jax.checkpoint(one_sample), _zeros3(px),
-        (jnp.arange(config.spp, dtype=jnp.uint32), records))
+    xs = (rs(aux.records), rs(aux.nee_u0), rs(aux.nee_u1),
+          rs(aux.cos_u0), rs(aux.cos_u1), rs(aux.jitter_x), rs(aux.jitter_y))
+    lum, _ = jax.lax.scan(jax.checkpoint(one_chunk), _zeros3(px), xs)
     hdr = lum / _F32(config.spp)
     return hdr.reshape(config.height, config.width, 3)
 
@@ -134,5 +163,5 @@ def render_path_decoupled(scene: Scene, config: RenderConfig) -> jnp.ndarray:
     """Fast differentiable variant-B render: Pallas trace + jnp shade.
     Value matches the megakernel/oracle; gradients match jax.grad of the
     oracle."""
-    _, records = trace_records(scene, config)
-    return shade_replay(scene, records, config)
+    _, aux = trace_records(scene, config)
+    return shade_replay(scene, aux, config)

@@ -1,0 +1,598 @@
+"""Pallas TPU megakernel for the variant-A 3-strategy MIS integrator.
+
+The reference's heaviest workload: ``drawTriangle`` +
+``recursiveMultiImportanceSampling`` (Sources/gpuRaytracer/shaders.metal:543-707)
+— per pixel: ``camera_rays`` primary rays, each shaded with
+``mis_samples/3`` samples of three strategies (light / cosine / VNDF-GGX),
+power-heuristic weighted, with one unweighted NEE at the first bounce hit of
+the two BSDF strategies. Per sample that is 5 ray-scene traversals (1 light
+probe + 2 BSDF closest-hits + 2 secondary light probes) ≈ 3,000
+traversals/pixel at reference settings (SURVEY.md §3.2).
+
+TPU design (same layout as pallas_path.py): rays dense on [RAY_SUB, 128]
+tiles in VMEM for the whole camera-ray × sample loop; triangles a static
+unrolled loop over the real primitives with SMEM-scalar constants. The
+reference's per-sample randoms are *pixel-independent* Halton points
+(haltonRandom(i, d), shaders.metal:557,564,584,595,617), so they live in an
+SMEM table read as loop scalars — zero vector work for sample generation, and
+the light-strategy sample position is a plain scalar broadcast.
+
+All math mirrors render._mis_chunk / sampling.py exactly (same quirks:
+D_GGX takes roughness not roughness², light pdf to the light *center*,
+β=1 power heuristic); parity vs the jnp oracle is asserted in tests.
+
+Gradients: like ``render_path_pallas``, a custom VJP whose backward is the
+VJP of the jnp reference (recompute-based).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import sampling as smp
+from ..intersect import compile_scene
+from ..render import render_mis
+from ..types import RenderConfig, Scene
+
+_F32 = jnp.float32
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+RAY_SUB = 32
+LANES = 128
+TILE = RAY_SUB * LANES
+BIG = 1e30
+RAY_TMIN = 1e-3
+RAY_TMAX = 1e3
+INV_2_32 = float(1.0 / 4294967296.0)
+PI = math.pi
+
+# Triangle-constant rows ([NROWS, T] SMEM table) — pallas_path's 19 rows plus
+# metallic/roughness (the MIS BRDF needs them).
+NROWS = 21
+(ROW_NX, ROW_NY, ROW_NZ, ROW_C0,
+ ROW_S1X, ROW_S1Y, ROW_S1Z, ROW_C1,
+ ROW_S2X, ROW_S2Y, ROW_S2Z, ROW_C2,
+ ROW_DR, ROW_DG, ROW_DB, ROW_ISEM,
+ ROW_ER, ROW_EG, ROW_EB, ROW_MET, ROW_RGH) = range(NROWS)
+
+# Debug bisection knob: include (light, cosine, vndf) strategy contributions.
+DEBUG_STRATEGY_MASK = (True, True, True)
+
+# Per-sample random table rows ([NTAB, S] SMEM): 5 (u1, u2) pairs.
+NTAB = 10
+(TAB_LU0, TAB_LU1, TAB_CU0, TAB_CU1, TAB_CSU0, TAB_CSU1,
+ TAB_VU0, TAB_VU1, TAB_VSU0, TAB_VSU1) = range(NTAB)
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x * inv, y * inv, z * inv
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _cross3(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _hash_u32(x):
+    """xorshift-multiply hash on a u32 tile (shaders.metal:58-69)."""
+    x = x ^ (x >> 16)
+    x = x * _U32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * _U32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _u32_to_f32(x):
+    """u32 -> f32 in [0, 1). Mosaic lacks a uint32->f32 convert; split into
+    two int32-safe halves."""
+    hi = (x >> 16).astype(_I32).astype(_F32)
+    lo = (x & _U32(0xFFFF)).astype(_I32).astype(_F32)
+    return (hi * 65536.0 + lo) * _F32(INV_2_32)
+
+
+def _ortho_basis(nx, ny, nz):
+    """Branching basis (sampling.metal:159-172): a = |n.x| > 0.9 ? ey : ex,
+    tangent = normalize(a - (a.n) n), bitangent = n x tangent."""
+    use_y = jnp.abs(nx) > 0.9
+    ax = jnp.where(use_y, 0.0, 1.0)
+    ay = jnp.where(use_y, 1.0, 0.0)
+    an = ax * nx + ay * ny
+    tx, ty, tz = _normalize3(ax - an * nx, ay - an * ny, -an * nz)
+    bx, by, bz = _cross3(nx, ny, nz, tx, ty, tz)
+    return tx, ty, tz, bx, by, bz
+
+
+def _d_ggx(n_dot_h, a):
+    f = (n_dot_h * a * a - n_dot_h) * n_dot_h + 1.0
+    return (a * a) / (_F32(PI) * f * f)
+
+
+def _smith_g1(n_dot_v, roughness):
+    a = roughness * roughness
+    a2 = a * a
+    nv2 = n_dot_v * n_dot_v
+    return 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * (1.0 - nv2) / nv2))
+
+
+def _brdf(vx, vy, vz, nx, ny, nz, dfr, dfg, dfb, met, rgh, lx, ly, lz):
+    """calculateBRDFContribution (shaders.metal:259-289) on tiles.
+    ``v`` is the view dir (= -incoming), ``l`` the light dir. Returns rgb."""
+    hx, hy, hz = _normalize3(vx + lx, vy + ly, vz + lz)
+    n_dot_v = jnp.abs(_dot3(nx, ny, nz, vx, vy, vz)) + 1e-5
+    n_dot_l = jnp.clip(_dot3(nx, ny, nz, lx, ly, lz), 0.0, 1.0)
+    n_dot_h = jnp.clip(_dot3(nx, ny, nz, hx, hy, hz), 0.0, 1.0)
+    l_dot_h = jnp.clip(_dot3(lx, ly, lz, hx, hy, hz), 0.0, 1.0)
+
+    one_m_met = 1.0 - met
+    f0r = 0.04 * one_m_met + dfr * met
+    f0g = 0.04 * one_m_met + dfg * met
+    f0b = 0.04 * one_m_met + dfb * met
+    d = _d_ggx(n_dot_h, rgh)
+    p5 = jnp.power(1.0 - l_dot_h, 5.0)
+    fr_ = f0r + (1.0 - f0r) * p5
+    fg_ = f0g + (1.0 - f0g) * p5
+    fb_ = f0b + (1.0 - f0b) * p5
+    a = rgh * rgh
+    ggx_l = n_dot_v * jnp.sqrt((-n_dot_l * a + n_dot_l) * n_dot_l + a)
+    ggx_v = n_dot_l * jnp.sqrt((-n_dot_v * a + n_dot_v) * n_dot_v + a)
+    vis = 0.5 / (ggx_v + ggx_l)
+    spec = (d * vis) / (4.0 * n_dot_v * n_dot_l + 1e-7)
+    fd = _F32(1.0 / PI)
+    out = []
+    for df, fs in ((dfr, fr_), (dfg, fg_), (dfb, fb_)):
+        k_d = (1.0 - fs) * one_m_met
+        out.append(k_d * (df * fd + spec * fs) * n_dot_l)
+    return out[0], out[1], out[2]
+
+
+def _cosine_pdf(nx, ny, nz, dx, dy, dz):
+    return jnp.maximum(0.0, _dot3(nx, ny, nz, dx, dy, dz)) * _F32(1.0 / PI)
+
+
+def _vndf_pdf(vx, vy, vz, nx, ny, nz, lx, ly, lz, rgh):
+    """D * G1 * VoH / (4 NoV) (shaders.metal:437-445). ``v`` = view dir."""
+    hx, hy, hz = _normalize3(vx + lx, vy + ly, vz + lz)
+    n_dot_h = jnp.abs(_dot3(nx, ny, nz, hx, hy, hz))
+    v_dot_h = jnp.abs(_dot3(vx, vy, vz, hx, hy, hz))
+    n_dot_v = jnp.abs(_dot3(nx, ny, nz, vx, vy, vz))
+    d = _d_ggx(n_dot_h, rgh)
+    g1 = _smith_g1(n_dot_v, rgh)
+    return (d * g1 * v_dot_h) / (4.0 * n_dot_v)
+
+
+def _power_heuristic_3(p1, p2, p3, n):
+    """β=1 with per-strategy count n (shaders.metal:132-137, called with
+    beta=1.0 at :534,574,606)."""
+    a = n * p1
+    return a / (a + n * p2 + n * p3 + 1e-6)
+
+
+def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
+                offsets_unused, cam_ref, light_ref, tri_ref, tab_ref,
+                out_r_ref, out_g_ref, out_b_ref):
+    """One [RAY_SUB, 128] tile of pixels through the full variant-A pipeline.
+    Outputs raw accumulated color (pre exposure/tonemap), like the oracle."""
+    W = config.width
+    s_per = config.mis_samples // 3
+
+    pid = pl.program_id(0)
+    sub = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 0)
+    lanei = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 1)
+    rid = pid * TILE + sub * LANES + lanei
+    pxi = rid % W
+    pyi = rid // W
+    px = pxi.astype(_F32)
+    py = pyi.astype(_F32)
+    in_image = rid < n_pixels
+
+    cam = [cam_ref[0, k] for k in range(12)]
+    pos, uhw, vhh, wv = cam[0:3], cam[3:6], cam[6:9], cam[9:12]
+    # Light: center(3), emitted_radiance(3), width, depth, normal(3),
+    # tangent(3), bitangent(3) — frame precomputed host-side with the same
+    # branching basis as the oracle.
+    lt = [light_ref[0, k] for k in range(17)]
+    lcx, lcy, lcz = lt[0:3]
+    ler, leg, leb = lt[3:6]
+    lw, ld = lt[6], lt[7]
+    lnx, lny, lnz = lt[8:11]
+    ltx, lty, ltz = lt[11:14]
+    lbx, lby, lbz = lt[14:17]
+
+    tris = []
+    for t in range(num_tris):
+        tris.append(tuple(tri_ref[r, t] for r in range(NROWS)))
+
+    def closest_full(ox, oy, oz, dx, dy, dz):
+        """Closest hit returning full shading attrs (10 running tiles)."""
+        t_best = jnp.full((RAY_SUB, LANES), BIG, _F32)
+        z = t_best * 0.0
+        nhx, nhy, nhz = z, z, z
+        dfr, dfg, dfb = z, z, z
+        met, rgh, isem = z, z, z
+        for tri in tris:
+            nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2, \
+                dr, dg, db, sem = tri[:16]
+            tmet, trgh = tri[ROW_MET], tri[ROW_RGH]
+            den = dx * nx + dy * ny + dz * nz
+            num = c0 - (ox * nx + oy * ny + oz * nz)
+            ok = jnp.abs(den) >= 1e-12
+            tt = num / jnp.where(ok, den, 1.0)
+            u = (ox * s1x + oy * s1y + oz * s1z) \
+                + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
+            v = (ox * s2x + oy * s2y + oz * s2z) \
+                + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
+            closer = (ok & (tt > RAY_TMIN) & (tt < RAY_TMAX)
+                      & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                      & (tt < t_best))
+            t_best = jnp.where(closer, tt, t_best)
+            nhx = jnp.where(closer, nx, nhx)
+            nhy = jnp.where(closer, ny, nhy)
+            nhz = jnp.where(closer, nz, nhz)
+            dfr = jnp.where(closer, dr, dfr)
+            dfg = jnp.where(closer, dg, dfg)
+            dfb = jnp.where(closer, db, dfb)
+            met = jnp.where(closer, tmet, met)
+            rgh = jnp.where(closer, trgh, rgh)
+            isem = jnp.where(closer, sem, isem)
+        hit = t_best < BIG * 0.5
+        return hit, t_best, nhx, nhy, nhz, dfr, dfg, dfb, met, rgh, isem
+
+    def light_reachable(ox, oy, oz, dx, dy, dz, t_max):
+        """No occluder strictly short of the light-sample distance — the
+        well-conditioned form of the reference's closest-hit-is-emissive
+        probe (shaders.metal:519-541; see render._direct_light_contribution
+        for why). Single running tile."""
+        occ = jnp.zeros((RAY_SUB, LANES), bool)
+        for tri in tris:
+            nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2 = tri[:12]
+            den = dx * nx + dy * ny + dz * nz
+            num = c0 - (ox * nx + oy * ny + oz * nz)
+            ok = jnp.abs(den) >= 1e-12
+            tt = num / jnp.where(ok, den, 1.0)
+            u = (ox * s1x + oy * s1y + oz * s1z) \
+                + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
+            v = (ox * s2x + oy * s2y + oz * s2z) \
+                + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
+            occ = occ | (ok & (tt > RAY_TMIN) & (tt < t_max)
+                         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+        return ~occ
+
+    def square_light_pdf(p_x, p_y, p_z, dx, dy, dz):
+        """pdf to the light *center* (shaders.metal:315-326 quirk)."""
+        tox = lcx - p_x
+        toy = lcy - p_y
+        toz = lcz - p_z
+        dist2 = tox * tox + toy * toy + toz * toz
+        cos_t = jnp.maximum(0.0, -(dx * lnx + dy * lny + dz * lnz))
+        return dist2 / (lw * ld * cos_t + 1e-6)
+
+    def direct_light(p_x, p_y, p_z, nx, ny, nz, inx, iny, inz,
+                     dfr, dfg, dfb, met, rgh, u0, u1, active,
+                     use_heuristic):
+        """calculateDirectLightSamplingContribution (shaders.metal:519-541).
+        ``u0, u1`` are SMEM scalars; the light sample point is scalar too."""
+        ox = p_x + nx * 1e-4
+        oy = p_y + ny * 1e-4
+        oz = p_z + nz * 1e-4
+        sx = lcx + ltx * ((u0 - 0.5) * lw) + lbx * ((u1 - 0.5) * ld)
+        sy = lcy + lty * ((u0 - 0.5) * lw) + lby * ((u1 - 0.5) * ld)
+        sz = lcz + ltz * ((u0 - 0.5) * lw) + lbz * ((u1 - 0.5) * ld)
+        tox, toy, toz = sx - ox, sy - oy, sz - oz
+        dist = jnp.sqrt(jnp.maximum(
+            tox * tox + toy * toy + toz * toz, 1e-30))
+        # Plain division, not reciprocal-multiply: the reference's first
+        # Halton sample (halton(0, d) == 0) lands exactly on the light
+        # rectangle corner, so the closest-hit classification of the light
+        # probe sits on an FP knife edge — the kernel must produce the same
+        # ULPs as the oracle (direct_square_light_sample divides).
+        ldx, ldy, ldz = tox / dist, toy / dist, toz / dist
+        pdf_l = square_light_pdf(p_x, p_y, p_z, ldx, ldy, ldz)
+        hit_light = active & light_reachable(
+            ox, oy, oz, ldx, ldy, ldz, dist * (1.0 - 1e-4))
+        vx, vy, vz = -inx, -iny, -inz
+        br, bg, bb = _brdf(vx, vy, vz, nx, ny, nz, dfr, dfg, dfb, met, rgh,
+                           ldx, ldy, ldz)
+        inv_pdf = 1.0 / pdf_l
+        cr = br * ler * inv_pdf
+        cg = bg * leg * inv_pdf
+        cb = bb * leb * inv_pdf
+        if use_heuristic:
+            pdf_c = _cosine_pdf(nx, ny, nz, ldx, ldy, ldz)
+            pdf_v = _vndf_pdf(vx, vy, vz, nx, ny, nz, ldx, ldy, ldz, rgh)
+            w = _power_heuristic_3(pdf_l, pdf_c, pdf_v, _F32(s_per))
+            cr, cg, cb = cr * w, cg * w, cb * w
+        zero = cr * 0.0
+        return (jnp.where(hit_light, cr, zero),
+                jnp.where(hit_light, cg, zero),
+                jnp.where(hit_light, cb, zero))
+
+    def bounce_strategy(p_x, p_y, p_z, nx, ny, nz, inx, iny, inz,
+                        dfr, dfg, dfb, met, rgh, active,
+                        sdx, sdy, sdz, pdf_self, w, su0, su1):
+        """Shared cosine/VNDF body (shaders.metal:562-623)."""
+        ox = p_x + nx * 1e-4
+        oy = p_y + ny * 1e-4
+        oz = p_z + nz * 1e-4
+        (hit, t2, n2x, n2y, n2z, d2r, d2g, d2b, m2, r2,
+         isem2) = closest_full(ox, oy, oz, sdx, sdy, sdz)
+        vx, vy, vz = -inx, -iny, -inz
+        br, bg, bb = _brdf(vx, vy, vz, nx, ny, nz, dfr, dfg, dfb, met, rgh,
+                           sdx, sdy, sdz)
+        inv_pdf = 1.0 / pdf_self
+
+        hit_light = active & hit & (isem2 > 0.5)
+        ltr = w * br * ler * inv_pdf
+        ltg = w * bg * leg * inv_pdf
+        ltb = w * bb * leb * inv_pdf
+
+        hit_geo = active & hit & (isem2 <= 0.5)
+        t_safe = jnp.where(hit_geo, t2, 0.0)
+        bpx = ox + sdx * t_safe
+        bpy = oy + sdy * t_safe
+        bpz = oz + sdz * t_safe
+        sr, sg, sb = direct_light(
+            bpx, bpy, bpz, n2x, n2y, n2z, sdx, sdy, sdz,
+            d2r, d2g, d2b, m2, r2, su0, su1, hit_geo, False)
+        gr = br * inv_pdf * sr
+        gg = bg * inv_pdf * sg
+        gb = bb * inv_pdf * sb
+        zero = ltr * 0.0
+        return (jnp.where(hit_light, ltr, zero) + jnp.where(hit_geo, gr, zero),
+                jnp.where(hit_light, ltg, zero) + jnp.where(hit_geo, gg, zero),
+                jnp.where(hit_light, ltb, zero) + jnp.where(hit_geo, gb, zero))
+
+    def one_camera_ray(i_i32, carry):
+        acc_r, acc_g, acc_b = carry
+        # hashRandom jitter (shaders.metal:71-85): strides are the literal
+        # 800/600 of the reference, independent of actual resolution.
+        xi = pxi.astype(_U32)
+        yi = pyi.astype(_U32)
+        iu = jnp.full((), 0, _U32) + i_i32.astype(_U32)
+        sample_id = (yi * _U32(800) + xi) * iu
+        jx = _u32_to_f32(_hash_u32(xi + yi * _U32(800) + sample_id))
+        jy = _u32_to_f32(_hash_u32(yi + xi * _U32(600) + sample_id
+                                   + _U32(12345)))
+
+        s = ((px + jx) / _F32(config.width)) * 2.0 - 1.0
+        t = -(((py + jy) / _F32(config.height)) * 2.0 - 1.0)
+        dx = s * uhw[0] + t * vhh[0] - wv[0]
+        dy = s * uhw[1] + t * vhh[1] - wv[1]
+        dz = s * uhw[2] + t * vhh[2] - wv[2]
+        dx, dy, dz = _normalize3(dx, dy, dz)
+        ox = px * 0.0 + pos[0]
+        oy = px * 0.0 + pos[1]
+        oz = px * 0.0 + pos[2]
+
+        (hit, t_hit, nhx, nhy, nhz, dfr, dfg, dfb, met, rgh,
+         isem) = closest_full(ox, oy, oz, dx, dy, dz)
+        hit = hit & in_image
+        cam_hit_light = hit & (isem > 0.5)
+        acc_r = acc_r + jnp.where(cam_hit_light, ler, 0.0)
+        acc_g = acc_g + jnp.where(cam_hit_light, leg, 0.0)
+        acc_b = acc_b + jnp.where(cam_hit_light, leb, 0.0)
+
+        surf = hit & (isem <= 0.5)
+        # NOT normal-offset (shaders.metal:497).
+        t_safe = jnp.where(surf, t_hit, 0.0)
+        p_x = ox + dx * t_safe
+        p_y = oy + dy * t_safe
+        p_z = oz + dz * t_safe
+
+        def one_sample(s_i32, c3):
+            m_r, m_g, m_b = c3
+            tab = [tab_ref[k, s_i32] for k in range(NTAB)]
+
+            # Strategy 1: light sampling.
+            s1r, s1g, s1b = direct_light(
+                p_x, p_y, p_z, nhx, nhy, nhz, dx, dy, dz,
+                dfr, dfg, dfb, met, rgh, tab[TAB_LU0], tab[TAB_LU1],
+                surf, True)
+
+            vx, vy, vz = -dx, -dy, -dz
+            tx, ty, tz, bx, by, bz = _ortho_basis(nhx, nhy, nhz)
+
+            # Strategy 2: cosine (cosineWeightedRay, shaders.metal:355-374).
+            phi = _F32(2.0 * PI) * tab[TAB_CU0]
+            cth = jnp.sqrt(jnp.full((), 0.0, _F32) + tab[TAB_CU1])
+            sth = jnp.sqrt(jnp.maximum(1.0 - tab[TAB_CU1], 0.0))
+            cp, sp = jnp.cos(phi), jnp.sin(phi)
+            cdx, cdy, cdz = _normalize3(
+                tx * (cp * sth) + bx * (sp * sth) + nhx * cth,
+                ty * (cp * sth) + by * (sp * sth) + nhy * cth,
+                tz * (cp * sth) + bz * (sp * sth) + nhz * cth)
+            pdf_c = _cosine_pdf(nhx, nhy, nhz, cdx, cdy, cdz)
+            pdf_l = square_light_pdf(p_x, p_y, p_z, cdx, cdy, cdz)
+            pdf_v = _vndf_pdf(vx, vy, vz, nhx, nhy, nhz, cdx, cdy, cdz, rgh)
+            w_c = _power_heuristic_3(pdf_c, pdf_l, pdf_v, _F32(s_per))
+            s2r, s2g, s2b = bounce_strategy(
+                p_x, p_y, p_z, nhx, nhy, nhz, dx, dy, dz,
+                dfr, dfg, dfb, met, rgh, surf,
+                cdx, cdy, cdz, pdf_c, w_c, tab[TAB_CSU0], tab[TAB_CSU1])
+
+            # Strategy 3: VNDF (vndfRay, shaders.metal:382-435).
+            alpha = rgh * rgh
+            vtx = _dot3(vx, vy, vz, tx, ty, tz)
+            vtb = _dot3(vx, vy, vz, bx, by, bz)
+            vtn = _dot3(vx, vy, vz, nhx, nhy, nhz)
+            vex, vey, vez = _normalize3(alpha * vtx, alpha * vtb, vtn)
+            t1x, t1y, t1z = _normalize3(vez, vez * 0.0, -vex)
+            t2x, t2y, t2z = _cross3(vex, vey, vez, t1x, t1y, t1z)
+            vphi = _F32(2.0 * PI) * tab[TAB_VU0]
+            # len(Ve) == 1 after normalize (reference quirk) =>
+            # cosThetaMax = 1/sqrt(2).
+            ctm = _F32(1.0 / math.sqrt(2.0))
+            vct = ctm + (1.0 - ctm) * tab[TAB_VU1]
+            vst = jnp.sqrt(jnp.maximum(0.0, 1.0 - vct * vct))
+            vcp, vsp = jnp.cos(vphi), jnp.sin(vphi)
+            hx_, hy_, hz_ = _normalize3(
+                t1x * (vcp * vst) + t2x * (vsp * vst) + vex * vct,
+                t1y * (vcp * vst) + t2y * (vsp * vst) + vey * vct,
+                t1z * (vcp * vst) + t2z * (vsp * vst) + vez * vct)
+            nhx_, nhy_, nhz_ = _normalize3(
+                alpha * hx_, alpha * hy_, jnp.maximum(0.0, hz_))
+            whx = tx * nhx_ + bx * nhy_ + nhx * nhz_
+            why = ty * nhx_ + by * nhy_ + nhy * nhz_
+            whz = tz * nhx_ + bz * nhy_ + nhz * nhz_
+            whx, why, whz = _normalize3(whx, why, whz)
+            # reflect(-v, wh) = -v + 2 (v . wh) wh... reference reflects the
+            # incoming dir: reflect(d, wh) = d - 2 (d . wh) wh.
+            ddh = _dot3(dx, dy, dz, whx, why, whz)
+            vdx = dx - 2.0 * ddh * whx
+            vdy = dy - 2.0 * ddh * why
+            vdz = dz - 2.0 * ddh * whz
+            pdf_v2 = _vndf_pdf(vx, vy, vz, nhx, nhy, nhz, vdx, vdy, vdz, rgh)
+            pdf_l2 = square_light_pdf(p_x, p_y, p_z, vdx, vdy, vdz)
+            pdf_c2 = _cosine_pdf(nhx, nhy, nhz, vdx, vdy, vdz)
+            w_v = _power_heuristic_3(pdf_v2, pdf_l2, pdf_c2, _F32(s_per))
+            s3r, s3g, s3b = bounce_strategy(
+                p_x, p_y, p_z, nhx, nhy, nhz, dx, dy, dz,
+                dfr, dfg, dfb, met, rgh, surf,
+                vdx, vdy, vdz, pdf_v2, w_v, tab[TAB_VSU0], tab[TAB_VSU1])
+
+            m1, m2, m3 = (_F32(1.0) if on else _F32(0.0)
+                          for on in DEBUG_STRATEGY_MASK)
+            return (m_r + m1 * s1r + m2 * s2r + m3 * s3r,
+                    m_g + m1 * s1g + m2 * s2g + m3 * s3g,
+                    m_b + m1 * s1b + m2 * s2b + m3 * s3b)
+
+        zero = px * 0.0
+        m_r, m_g, m_b = jax.lax.fori_loop(
+            0, s_per, one_sample, (zero, zero, zero))
+        inv_s = _F32(1.0 / s_per)
+        acc_r = acc_r + jnp.where(surf, m_r * inv_s, 0.0)
+        acc_g = acc_g + jnp.where(surf, m_g * inv_s, 0.0)
+        acc_b = acc_b + jnp.where(surf, m_b * inv_s, 0.0)
+        return acc_r, acc_g, acc_b
+
+    zero = px * 0.0
+    acc_r, acc_g, acc_b = jax.lax.fori_loop(
+        0, config.camera_rays, one_camera_ray, (zero, zero, zero))
+    out_r_ref[...] = acc_r
+    out_g_ref[...] = acc_g
+    out_b_ref[...] = acc_b
+
+
+def _pack_inputs(scene: Scene, config: RenderConfig):
+    """Host-side marshalling (the reference's convert*/makeBuffer step)."""
+    compiled = compile_scene(scene.triangles, lane_pad=1)
+    tri = jnp.stack([
+        compiled.n[:, 0], compiled.n[:, 1], compiled.n[:, 2], compiled.c0,
+        compiled.s1[:, 0], compiled.s1[:, 1], compiled.s1[:, 2], compiled.c1,
+        compiled.s2[:, 0], compiled.s2[:, 1], compiled.s2[:, 2], compiled.c2,
+        compiled.diffuse[:, 0], compiled.diffuse[:, 1], compiled.diffuse[:, 2],
+        compiled.is_emissive.astype(_F32),
+        compiled.emissive[:, 0], compiled.emissive[:, 1],
+        compiled.emissive[:, 2],
+        compiled.metallic, compiled.roughness,
+    ])  # [NROWS, T]
+
+    cam = scene.camera
+    res_x, res_y = config.resolution
+    aspect = float(res_x // res_y) if config.integer_aspect else res_x / res_y
+    half_width = jnp.tan(jnp.asarray(cam.horizontal_fov, _F32) / 2.0)
+    half_height = half_width / _F32(aspect)
+    u, v, w = smp.camera_basis(jnp.asarray(cam.direction, _F32),
+                               jnp.asarray(cam.up, _F32))
+    cam_vec = jnp.concatenate([
+        jnp.asarray(cam.position, _F32), u * half_width, v * half_height, w,
+    ]).reshape(1, 12)
+
+    light = scene.light
+    lnorm = jnp.asarray(light.normal, _F32)
+    lt, lb = smp.build_orthonormal_basis(lnorm)
+    light_vec = jnp.concatenate([
+        jnp.asarray(light.center, _F32).reshape(-1),
+        jnp.asarray(light.emitted_radiance, _F32).reshape(-1),
+        jnp.asarray(light.width, _F32).reshape(1),
+        jnp.asarray(light.depth, _F32).reshape(1),
+        lnorm.reshape(-1), lt.reshape(-1), lb.reshape(-1),
+    ]).reshape(1, 17)
+
+    # Per-sample Halton tables (pixel-independent; render._mis_sample_tables).
+    s = config.mis_samples // 3
+    i = jnp.arange(s, dtype=jnp.uint32)
+    tabs = jnp.stack([
+        smp.halton(i, 0), smp.halton(i, 1),                          # light
+        smp.halton(i + _U32(s), 2), smp.halton(i + _U32(s), 3),      # cosine
+        smp.halton(i, 6), smp.halton(i, 7),                          # cos sec
+        smp.halton(i + _U32(2 * s), 4), smp.halton(i + _U32(2 * s), 5),
+        smp.halton(i + _U32(s), 6), smp.halton(i + _U32(s), 7),      # vndf sec
+    ])  # [NTAB, S]
+    return tri, cam_vec, light_vec, tabs
+
+
+def _render_mis_impl(scene: Scene, config: RenderConfig, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_pixels = config.num_pixels
+    n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
+    grid = (n_padded // TILE,)
+    num_tris = scene.triangles.num_triangles
+
+    tri, cam_vec, light_vec, tabs = _pack_inputs(scene, config)
+    # Kernel reads no per-pixel input; pass a dummy so in/out specs line up
+    # with pallas_path's layout conventions.
+    dummy = jnp.zeros((n_padded // LANES, LANES), _F32)
+
+    kernel = partial(_mis_kernel, config, n_pixels, num_tris)
+    plane = jax.ShapeDtypeStruct((n_padded // LANES, LANES), _F32)
+    out_spec = pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    s_per = config.mis_samples // 3
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # dummy
+            pl.BlockSpec((1, 12), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),            # camera
+            pl.BlockSpec((1, 17), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),            # light
+            pl.BlockSpec((NROWS, num_tris), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),            # triangles
+            pl.BlockSpec((NTAB, s_per), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),            # sample tables
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(plane, plane, plane),
+        interpret=interpret,
+    )(dummy, cam_vec, light_vec, tri, tabs)
+    hdr = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
+    return hdr[:n_pixels].reshape(config.height, config.width, 3)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def render_mis_pallas(scene: Scene, config: RenderConfig) -> jnp.ndarray:
+    """Variant-A MIS render via the Pallas megakernel. Returns [H, W, 3] raw
+    accumulated HDR (pre-tonemap; apply render.tonemap_mis for the LDR image).
+    Differentiable: backward is the VJP of the jnp reference."""
+    return _render_mis_impl(scene, config)
+
+
+def _fwd(scene, config):
+    return _render_mis_impl(scene, config), scene
+
+
+def _bwd(config, scene, g):
+    _, vjp = jax.vjp(lambda s: render_mis(s, config).hdr, scene)
+    return vjp(g)
+
+
+render_mis_pallas.defvjp(_fwd, _bwd)
+
+
+def render_mis_pallas_interpret(scene: Scene, config: RenderConfig):
+    """Interpreter-mode run (CPU) for parity tests."""
+    return _render_mis_impl(scene, config, interpret=True)

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,21 @@ TILE = RAY_SUB * LANES       # rays per grid step
 BIG = 1e30
 RAY_TMIN = 1e-3
 RAY_TMAX = 1e3
+
+
+class TraceAux(NamedTuple):
+    """Trace-pass outputs consumed by the differentiable replay
+    (ops/decoupled.py). ``records`` carries the discrete decisions; the uv
+    planes carry the random draws so the replay never recomputes Halton
+    digits. Shapes: [spp, bounces, N] except jitter_[xy] [spp, N]."""
+
+    records: jnp.ndarray   # int32: (prim + 1) + 512 * shadow_occluded; 0=miss
+    nee_u0: jnp.ndarray    # f32 light-sample u (pre-scale, in [0,1))
+    nee_u1: jnp.ndarray
+    cos_u0: jnp.ndarray    # f32 cosine-bounce u
+    cos_u1: jnp.ndarray
+    jitter_x: jnp.ndarray  # f32 camera subpixel jitter
+    jitter_y: jnp.ndarray
 
 # Packed triangle-constant rows ([NROWS, T] table, SMEM).
 ROW_NX, ROW_NY, ROW_NZ, ROW_C0 = 0, 1, 2, 3
@@ -181,6 +196,10 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         ih = off + n_i32.astype(_U32)
         jx = _halton_tile(ih, 0)
         jy = _halton_tile(ih, 1)
+        if emit_records:
+            js = pl.ds(n_i32 * RAY_SUB, RAY_SUB)
+            rec_refs[5][js, :] = jx
+            rec_refs[6][js, :] = jy
 
         # Camera ray (sampling.metal:125-157); basis prescaled on host.
         s = ((px + jx) / _F32(W)) * 2.0 - 1.0
@@ -218,8 +237,10 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
             # NEE (sampleAreaLight, sampling.metal:198-236): hardcoded frame
             # right=(he,0,0), up=(0,0,he), light normal (0,-1,0).
-            w0 = _halton_tile(ih, 2 + bounce * 5 + 0) * 2.0 - 1.0
-            w1 = _halton_tile(ih, 2 + bounce * 5 + 1) * 2.0 - 1.0
+            u_nee0 = _halton_tile(ih, 2 + bounce * 5 + 0)
+            u_nee1 = _halton_tile(ih, 2 + bounce * 5 + 1)
+            w0 = u_nee0 * 2.0 - 1.0
+            w1 = u_nee1 * 2.0 - 1.0
             tlx = lcx + he * w0 - hx
             tly = lcy - hy
             tlz = lcz + he * w1 - hz
@@ -239,8 +260,13 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             occ = occluded_q(hx, hy, hz, ldx, ldy, ldz, ldist - 1e-3)
             if emit_records:
                 code = (prim_f + 1.0) + jnp.where(occ, _F32(512.0), _F32(0.0))
-                rec_refs[0][pl.ds((n_i32 * config.bounces + bounce) * RAY_SUB,
-                                  RAY_SUB), :] = code.astype(_I32)
+                bs = pl.ds((n_i32 * config.bounces + bounce) * RAY_SUB,
+                           RAY_SUB)
+                rec_refs[0][bs, :] = code.astype(_I32)
+                # The random draws, so the replay pass never recomputes
+                # Halton digits (its dominant cost on [N]-sized arrays).
+                rec_refs[1][bs, :] = u_nee0
+                rec_refs[2][bs, :] = u_nee1
             contrib = surf & ~occ
             w_c = jnp.where(contrib, gain, 0.0)
             a_r = a_r + lr * w_c * col_r
@@ -250,6 +276,9 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             # Cosine bounce (sampling.metal:39-66).
             u0 = _halton_tile(ih, 2 + bounce * 5 + 2)
             u1 = _halton_tile(ih, 2 + bounce * 5 + 3)
+            if emit_records:
+                rec_refs[3][bs, :] = u0
+                rec_refs[4][bs, :] = u1
             phi = _F32(2.0 * math.pi) * u0
             cth = jnp.sqrt(u1)
             sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
@@ -344,11 +373,20 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     out_spec_list = [out_specs, out_specs, out_specs]
     if emit_records:
         nsb = config.spp * config.bounces
-        out_shapes.append(jax.ShapeDtypeStruct(
-            ((n_padded // LANES) * nsb, LANES), jnp.int32))
-        out_spec_list.append(
-            pl.BlockSpec((RAY_SUB * nsb, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM))
+        sb_plane = jax.ShapeDtypeStruct(
+            ((n_padded // LANES) * nsb, LANES), jnp.float32)
+        sb_spec = pl.BlockSpec((RAY_SUB * nsb, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        s_plane = jax.ShapeDtypeStruct(
+            ((n_padded // LANES) * config.spp, LANES), jnp.float32)
+        s_spec = pl.BlockSpec((RAY_SUB * config.spp, LANES), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        # records, nee u0/u1, cosine u0/u1 per (sample, bounce); camera
+        # jitter u0/u1 per sample.
+        out_shapes += [jax.ShapeDtypeStruct(
+            ((n_padded // LANES) * nsb, LANES), jnp.int32),
+            sb_plane, sb_plane, sb_plane, sb_plane, s_plane, s_plane]
+        out_spec_list += [sb_spec] * 5 + [s_spec] * 2
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -371,13 +409,24 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     hdr = hdr[:n_pixels].reshape(config.height, config.width, 3)
     if not emit_records:
         return hdr
-    # Decode records: rows are [tile, sample, bounce, RAY_SUB] x LANES; pixel
-    # id within a tile is sub * LANES + lane.
-    rec = outs[3].reshape(grid[0], config.spp, config.bounces,
-                          RAY_SUB * LANES)
-    rec = jnp.moveaxis(rec, 0, 2).reshape(
-        config.spp, config.bounces, n_padded)[:, :, :n_pixels]
-    return hdr, rec
+
+    # Decode per-(sample, bounce) planes: rows are
+    # [tile, sample, bounce, RAY_SUB] x LANES; pixel id within a tile is
+    # sub * LANES + lane.
+    def sb(x):
+        x = x.reshape(grid[0], config.spp, config.bounces, RAY_SUB * LANES)
+        return jnp.moveaxis(x, 0, 2).reshape(
+            config.spp, config.bounces, n_padded)[:, :, :n_pixels]
+
+    def s(x):
+        x = x.reshape(grid[0], config.spp, RAY_SUB * LANES)
+        return jnp.moveaxis(x, 0, 1).reshape(
+            config.spp, n_padded)[:, :n_pixels]
+
+    rec, nee0, nee1, cos0, cos1 = (sb(o) for o in outs[3:8])
+    jx, jy = (s(o) for o in outs[8:10])
+    return hdr, TraceAux(records=rec, nee_u0=nee0, nee_u1=nee1,
+                         cos_u0=cos0, cos_u1=cos1, jitter_x=jx, jitter_y=jy)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))

@@ -205,8 +205,18 @@ def _direct_light_contribution(
     active: jnp.ndarray,
 ):
     """``calculateDirectLightSamplingContribution`` (shaders.metal:519-541):
-    sample the full light rectangle, trace a closest-hit toward it, and
-    contribute iff that hit is the light. Returns [..., 3]."""
+    sample the full light rectangle, trace toward it, and contribute iff the
+    light is reached. Returns [..., 3].
+
+    The reference classifies by closest-hit-is-emissive. We use the
+    equivalent *occlusion* formulation — any non-light hit strictly short of
+    the sample distance blocks the contribution — because the reference's
+    very first Halton sample (halton(0, d) == 0) lands exactly on the light
+    rectangle's corner, putting the closest-hit classification on an FP
+    knife edge (hit/miss flips with compiler FMA/fusion choices). The two
+    formulations agree everywhere except that measure-zero edge set, where
+    the reference's own hardware intersector behavior is unspecified; the
+    occlusion form is deterministic across jnp/Pallas backends."""
     light = scene.light
     spheres = scene.spheres if scene.spheres.num_spheres > 0 else None
     origin = point + normal * 1e-4
@@ -214,12 +224,11 @@ def _direct_light_contribution(
         origin, light.center, light.width, light.depth, light.normal, u)
     pdf_l = smp.square_light_pdf(
         point, light.center, light.width, light.depth, light.normal, ldir)
-    # Closest hit with max at the light sample distance (+eps so the on-light
-    # sample itself registers; the reference relies on the hardware
-    # intersector's inclusive max here).
-    h = closest_hit(compiled, origin, ldir, RAY_TMIN, ldist * (1.0 + 1e-4),
-                    spheres)
-    hit_light = active & h.hit & h.is_emissive
+    # Occluder window stops short of the light plane so the light itself
+    # (hit at t ~= ldist) never registers as a blocker.
+    occluded = any_hit(compiled, origin, ldir, RAY_TMIN, ldist * (1.0 - 1e-4),
+                       spheres)
+    hit_light = active & ~occluded
     brdf = brdf_contribution(in_dir, normal, diffuse, metallic, roughness, ldir)
     contrib = brdf * light.emitted_radiance / pdf_l[..., None]
     if use_power_heuristic:

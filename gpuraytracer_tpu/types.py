@@ -197,6 +197,7 @@ class RenderConfig:
     # Performance knobs.
     lane_pad: int = 128  # pad triangle axis to a multiple of this
     pixel_chunk: int = 16384  # pixels per lax.map step in the jnp reference path
+    replay_sample_chunk: int = 16  # samples vectorized per decoupled-replay step
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -82,3 +82,18 @@ def test_gradient_through_shard_map(scene, mesh):
     g = np.asarray(g)
     assert np.all(np.isfinite(g))
     assert np.all(g > 0)  # brighter light -> brighter image, all channels
+
+
+def test_multihost_single_process_degrade(scene, mesh):
+    """Single-process mode: init is a no-op, gather returns the local array,
+    barrier returns immediately."""
+    from gpuraytracer_tpu.parallel import multihost as mh
+
+    assert mh.init_distributed() is False  # no coordinator configured
+    assert mh.is_primary()
+    cfg = _cfg(spp=1)
+    out = render_path_sharded(scene, cfg, mesh)
+    img = mh.gather_image(out)
+    assert img.shape == (cfg.height, cfg.width, 3)
+    assert np.all(np.isfinite(img))
+    mh.sync_hosts()  # no-op at process_count == 1
