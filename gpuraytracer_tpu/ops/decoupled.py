@@ -77,14 +77,34 @@ def shade_replay(scene: Scene, aux: TraceAux,
     # serialize (~1 elem/cycle) and their backward is a scatter; a one-hot
     # contraction is a dense GEMM both ways, and exact for f32 one-hot
     # (1.0 x table row reconstructs the row bit-for-bit under HIGHEST).
-    P = compiled.padded_size
-    table = jnp.concatenate([
-        compiled.n,                                   # 0:3  normal
+    P_tri = compiled.padded_size
+    sp = scene.spheres
+    num_sph = sp.num_spheres
+    P = P_tri + num_sph
+    z_tri = jnp.zeros((P_tri,), _F32)
+    cols = [
+        compiled.n,                                   # 0:3  tri normal
         compiled.c0[:, None],                         # 3    plane constant
         compiled.diffuse,                             # 4:7
         compiled.emissive,                            # 7:10
         compiled.is_emissive.astype(_F32)[:, None],   # 10
-    ], axis=1)
+        jnp.zeros((P_tri, 3), _F32),                  # 11:14 sphere center
+        z_tri[:, None],                               # 14   sphere radius
+        z_tri[:, None],                               # 15   is_sphere
+    ]
+    table = jnp.concatenate(cols, axis=1)
+    if num_sph:
+        sph_rows = jnp.concatenate([
+            jnp.zeros((num_sph, 4), _F32),
+            sp.diffuse,
+            sp.emissive,
+            (jnp.linalg.norm(sp.emissive, axis=-1) > 0.0).astype(
+                _F32)[:, None],
+            sp.center,
+            sp.radius[:, None],
+            jnp.ones((num_sph, 1), _F32),
+        ], axis=1)
+        table = jnp.concatenate([table, sph_rows], axis=0)
 
     def gather_attrs(pc):
         onehot = (pc[..., None] == jnp.arange(P, dtype=pc.dtype)).astype(_F32)
@@ -92,7 +112,8 @@ def shade_replay(scene: Scene, aux: TraceAux,
             onehot, table, (((onehot.ndim - 1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST)
         return (at[..., 0:3], at[..., 3], at[..., 4:7], at[..., 7:10],
-                at[..., 10] > 0.5)
+                at[..., 10] > 0.5, at[..., 11:14], at[..., 14],
+                at[..., 15] > 0.5)
 
     chunk = _sample_chunk(config)
     n_chunks = config.spp // chunk
@@ -118,13 +139,38 @@ def shade_replay(scene: Scene, aux: TraceAux,
             prim = code % OCC_BIT - 1
             hit = prim >= 0
             pc = jnp.clip(prim, 0, P - 1)
-            normal, c0, diffuse, emissive, is_em = gather_attrs(pc)
+            (normal, c0, diffuse, emissive, is_em, s_center, s_radius,
+             is_sph) = gather_attrs(pc)
 
             # Hit distance from the recorded primitive's plane equation —
             # differentiable w.r.t. the triangle's vertices.
             den = smp.dot(d, normal)
             t = (c0 - smp.dot(o, normal)) / jnp.where(
                 jnp.abs(den) < 1e-12, 1.0, den)
+
+            if num_sph:
+                # Sphere hit distance from the recorded sphere's quadratic
+                # (same op order as intersect._sphere_candidates) —
+                # differentiable w.r.t. center/radius.
+                oc = o - s_center
+                a = smp.dot(d, d)
+                b = 2.0 * smp.dot(oc, d)
+                c_ = smp.dot(oc, oc) - s_radius * s_radius
+                disc = b * b - 4.0 * a * c_
+                sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+                t1 = (-b - sq) / (2.0 * a)
+                t2 = (-b + sq) / (2.0 * a)
+                t1_ok = (t1 > 1e-3) & (t1 < 1e3)
+                t_sph = jnp.where(t1_ok, t1, t2)
+                t = jnp.where(is_sph, t_sph, t)
+                # Sphere normal from the recomputed hit point
+                # (intersect.closest_hit sphere branch).
+                sel = hit & is_sph
+                t_ns = jnp.where(sel, t, 0.0)
+                to_hit = o + d * t_ns[..., None] - s_center
+                n_sph = to_hit * jax.lax.rsqrt(
+                    jnp.maximum(smp.dot(to_hit, to_hit), 1e-6))[..., None]
+                normal = jnp.where(sel[..., None], n_sph, normal)
 
             active = alive & hit
             hit_light = active & is_em

@@ -533,6 +533,10 @@ def _pack_inputs(scene: Scene, config: RenderConfig):
 
 
 def _render_mis_impl(scene: Scene, config: RenderConfig, interpret=None):
+    if scene.spheres.num_spheres:
+        raise NotImplementedError(
+            "render_mis_pallas does not trace spheres yet — use the jnp "
+            "oracle (render_mis) for sphere scenes")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_pixels = config.num_pixels

@@ -72,6 +72,10 @@ ROW_DR, ROW_DG, ROW_DB, ROW_ISEM = 12, 13, 14, 15
 ROW_ER, ROW_EG, ROW_EB = 16, 17, 18
 NROWS = 19
 
+# Sphere-constant rows ([SROWS, S] table, SMEM): center xyz, radius,
+# diffuse rgb, is_emissive, emissive rgb.
+SROWS = 11
+
 
 def _halton_tile(i: jnp.ndarray, d: int) -> jnp.ndarray:
     """Halton radical inverse on a uint32 tile; fixed digit-count loop
@@ -101,15 +105,16 @@ def _normalize3(x, y, z):
 
 
 def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
-                 emit_records: bool,
-                 offsets_ref, cam_ref, light_ref, tri_ref,
+                 num_spheres: int, emit_records: bool,
+                 offsets_ref, cam_ref, light_ref, tri_ref, sph_ref,
                  out_r_ref, out_g_ref, out_b_ref, *rec_refs):
     """One [RAY_SUB, 128] tile of rays: full spp x bounces path trace.
 
     With ``emit_records``, also writes one int32 visibility record per
     (sample, bounce, ray): code = (winning prim + 1) + 512 * shadow_occluded
-    (0 = miss). The records replay the kernel's discrete decisions in a cheap
-    differentiable jnp shading pass (ops/decoupled.py) — the fwd+bwd path."""
+    (0 = miss; sphere s records as num_tris + s + 1). The records replay the
+    kernel's discrete decisions in a cheap differentiable jnp shading pass
+    (ops/decoupled.py) — the fwd+bwd path."""
     W = config.width
     H = config.height
     he = _F32(config.area_light_half_extent)
@@ -129,10 +134,29 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     lcx, lcy, lcz = light_ref[0, 0], light_ref[0, 1], light_ref[0, 2]
     lr, lg, lb = light_ref[0, 3], light_ref[0, 4], light_ref[0, 5]
 
-    # Hoist all triangle scalars out of the sample loop (loop-invariant).
+    # Hoist all triangle/sphere scalars out of the sample loop
+    # (loop-invariant).
     tris = []
     for t in range(num_tris):
         tris.append(tuple(tri_ref[r, t] for r in range(NROWS)))
+    sphs = []
+    for s_i in range(num_spheres):
+        sphs.append(tuple(sph_ref[r, s_i] for r in range(SROWS)))
+
+    def sphere_roots(sph, ox, oy, oz, dx, dy, dz):
+        """Quadratic ray/sphere roots (shaders_old.metal:108-136; same op
+        order as intersect._sphere_candidates for oracle parity)."""
+        scx, scy, scz, rad = sph[:4]
+        ocx, ocy, ocz = ox - scx, oy - scy, oz - scz
+        a = dx * dx + dy * dy + dz * dz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = (ocx * ocx + ocy * ocy + ocz * ocz) - rad * rad
+        disc = b * b - 4.0 * a * c
+        pos = disc > 0.0
+        sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+        t1 = (-b - sq) / (2.0 * a)
+        t2 = (-b + sq) / (2.0 * a)
+        return pos, t1, t2
 
     def closest(ox, oy, oz, dx, dy, dz):
         """Running-min closest hit over the static triangle loop. Returns
@@ -170,7 +194,42 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             emb = jnp.where(closer, eb, emb)
             isem = jnp.where(closer, sem, isem)
             prim_f = jnp.where(closer, _F32(t_idx), prim_f)
+        # Analytic spheres after triangles (ties keep the triangle, like the
+        # oracle's first-min argmin over [tris..., spheres...]).
+        wcx, wcy, wcz = nhx * 0.0, nhx * 0.0, nhx * 0.0
+        for s_idx, sph in enumerate(sphs):
+            scx, scy, scz, rad, dr, dg, db, sem, er, eg, eb = sph
+            pos, t1, t2 = sphere_roots(sph, ox, oy, oz, dx, dy, dz)
+            t1_ok = (t1 > RAY_TMIN) & (t1 < RAY_TMAX)
+            t2_ok = (t2 > RAY_TMIN) & (t2 < RAY_TMAX)
+            tt = jnp.where(t1_ok, t1, t2)
+            closer = pos & (t1_ok | t2_ok) & (tt < t_best)
+            t_best = jnp.where(closer, tt, t_best)
+            dfr = jnp.where(closer, dr, dfr)
+            dfg = jnp.where(closer, dg, dfg)
+            dfb = jnp.where(closer, db, dfb)
+            emr = jnp.where(closer, er, emr)
+            emg = jnp.where(closer, eg, emg)
+            emb = jnp.where(closer, eb, emb)
+            isem = jnp.where(closer, sem, isem)
+            prim_f = jnp.where(closer, _F32(num_tris + s_idx), prim_f)
+            wcx = jnp.where(closer, scx, wcx)
+            wcy = jnp.where(closer, scy, wcy)
+            wcz = jnp.where(closer, scz, wcz)
         hit = t_best < BIG * 0.5
+        if num_spheres:
+            # Sphere normal: (hit point - center) normalized
+            # (shaders_old.metal:122-123); select over the triangle normal.
+            sphere_won = hit & (prim_f >= _F32(num_tris))
+            t_s = jnp.where(sphere_won, t_best, 0.0)
+            nvx = ox + dx * t_s - wcx
+            nvy = oy + dy * t_s - wcy
+            nvz = oz + dz * t_s - wcz
+            inv = jax.lax.rsqrt(jnp.maximum(
+                nvx * nvx + nvy * nvy + nvz * nvz, 1e-6))
+            nhx = jnp.where(sphere_won, nvx * inv, nhx)
+            nhy = jnp.where(sphere_won, nvy * inv, nhy)
+            nhz = jnp.where(sphere_won, nvz * inv, nhz)
         return (hit, t_best, prim_f, nhx, nhy, nhz, dfr, dfg, dfb,
                 emr, emg, emb, isem)
 
@@ -189,6 +248,11 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
             occ = occ | (ok & (tt > 0.0) & (tt < t_max)
                          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+        for sph in sphs:
+            pos, t1, t2 = sphere_roots(sph, ox, oy, oz, dx, dy, dz)
+            t1_ok = (t1 > 0.0) & (t1 < t_max)
+            t2_ok = (t2 > 0.0) & (t2 < t_max)
+            occ = occ | (pos & (t1_ok | t2_ok))
         return occ
 
     def one_sample(n_i32, carry):
@@ -347,7 +411,18 @@ def _pack_inputs(scene: Scene, config: RenderConfig):
         jnp.asarray(light.center, _F32).reshape(-1),
         jnp.asarray(light.color, _F32).reshape(-1),
     ]).reshape(1, 6)
-    return tri, cam_vec, light_vec
+
+    sp = scene.spheres
+    if sp.num_spheres:
+        sph = jnp.stack([
+            sp.center[:, 0], sp.center[:, 1], sp.center[:, 2], sp.radius,
+            sp.diffuse[:, 0], sp.diffuse[:, 1], sp.diffuse[:, 2],
+            (jnp.linalg.norm(sp.emissive, axis=-1) > 0.0).astype(_F32),
+            sp.emissive[:, 0], sp.emissive[:, 1], sp.emissive[:, 2],
+        ])  # [SROWS, S]
+    else:
+        sph = jnp.zeros((SROWS, 1), _F32)  # placeholder; loops are empty
+    return tri, cam_vec, light_vec, sph
 
 
 def _render_pallas_impl(scene: Scene, config: RenderConfig,
@@ -360,12 +435,15 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
     grid = (n_padded // TILE,)
     num_tris = scene.triangles.num_triangles
+    num_spheres = scene.spheres.num_spheres
+    assert num_tris + num_spheres + 1 < 512, "record encoding limit"
 
-    tri, cam_vec, light_vec = _pack_inputs(scene, config)
+    tri, cam_vec, light_vec, sph = _pack_inputs(scene, config)
     offsets = pixel_rng_offsets(config)
     offsets = jnp.pad(offsets, (0, n_padded - n_pixels)).reshape(-1, LANES)
 
-    kernel = partial(_path_kernel, config, n_pixels, num_tris, emit_records)
+    kernel = partial(_path_kernel, config, n_pixels, num_tris, num_spheres,
+                     emit_records)
     plane = jax.ShapeDtypeStruct((n_padded // LANES, LANES), _F32)
     out_specs = pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -399,11 +477,13 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
                          memory_space=pltpu.SMEM),        # light
             pl.BlockSpec((NROWS, num_tris), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),        # triangles
+            pl.BlockSpec((SROWS, max(num_spheres, 1)), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),        # spheres
         ],
         out_specs=tuple(out_spec_list),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(offsets, cam_vec, light_vec, tri)
+    )(offsets, cam_vec, light_vec, tri, sph)
     r, g, b = outs[:3]
     hdr = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     hdr = hdr[:n_pixels].reshape(config.height, config.width, 3)

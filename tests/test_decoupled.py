@@ -104,3 +104,33 @@ def test_render_path_decoupled_end_to_end(scene):
     oracle = np.asarray(render(scene, cfg).hdr)
     out = np.asarray(render_path_decoupled(scene, cfg))
     np.testing.assert_allclose(out, oracle, atol=2e-5, rtol=1e-4)
+
+
+def test_sphere_scene_replay_and_center_grads():
+    """Sphere prims flow through records: values match the oracle and
+    sphere-center gradients (config-4 geometry workload) agree with AD
+    through the full quadratic intersection."""
+    from gpuraytracer_tpu.scene import cornell_box_with_spheres
+
+    scene = cornell_box_with_spheres(resolution=(32, 16))
+    cfg = _cfg(spp=2)
+    oracle = np.asarray(render(scene, cfg).hdr)
+    hdr, aux = trace_records(scene, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(hdr), oracle, atol=2e-5, rtol=1e-4)
+    replay = np.asarray(shade_replay(scene, aux, cfg))
+    np.testing.assert_allclose(replay, oracle, atol=2e-5, rtol=1e-4)
+
+    def loss_rep(center):
+        sp = dataclasses.replace(scene.spheres, center=center)
+        return jnp.mean(shade_replay(dataclasses.replace(scene, spheres=sp),
+                                     aux, cfg))
+
+    def loss_orc(center):
+        sp = dataclasses.replace(scene.spheres, center=center)
+        return jnp.mean(render(dataclasses.replace(scene, spheres=sp),
+                               cfg).hdr)
+
+    c = jnp.asarray(scene.spheres.center)
+    g_r = np.asarray(jax.grad(loss_rep)(c))
+    g_o = np.asarray(jax.grad(loss_orc)(c))
+    np.testing.assert_allclose(g_r, g_o, atol=5e-6, rtol=1e-4)

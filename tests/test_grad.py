@@ -144,3 +144,24 @@ def test_inverse_rendering_recovers_sphere_center_shift(scene):
     err1 = np.abs(np.asarray(res.params.sphere_centers)
                   - np.asarray(true_params.sphere_centers)).max()
     assert err1 < err0 * 0.5  # at least halved the worst-axis error
+
+
+def test_fast_pixel_loss_grads_match_oracle(sphere_scene):
+    """fast_pixel_loss (decoupled Pallas trace + replay) produces the same
+    parameter gradients as pixel_loss (oracle renderer)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gpuraytracer_tpu.grad.inverse import (extract_params, fast_pixel_loss,
+                                               pixel_loss)
+    from gpuraytracer_tpu.types import RenderConfig
+
+    cfg = RenderConfig(width=64, height=64, integrator="path", spp=1,
+                       bounces=2, pixel_chunk=4096, replay_sample_chunk=1)
+    params = extract_params(sphere_scene)
+    target = jnp.zeros((64, 64, 3), jnp.float32)
+    g_fast = jax.grad(fast_pixel_loss)(params, sphere_scene, cfg, target)
+    g_orc = jax.grad(pixel_loss)(params, sphere_scene, cfg, target)
+    for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_orc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4)

@@ -141,3 +141,15 @@ def test_mis_kernel_backward_matches_jnp_grad(scene):
     g_k = np.asarray(jax.grad(loss_pallas)(em))
     g_j = np.asarray(jax.grad(loss_jnp)(em))
     np.testing.assert_allclose(g_k, g_j, atol=1e-7, rtol=1e-5)
+
+
+def test_kernel_sphere_scene_matches_oracle():
+    """Analytic sphere intersection in the megakernel
+    (shaders_old.metal:108-136 tier)."""
+    from gpuraytracer_tpu.scene import cornell_box_with_spheres
+
+    scene = cornell_box_with_spheres(resolution=(32, 16))
+    cfg = _cfg(spp=1)
+    oracle = np.asarray(render(scene, cfg).hdr)
+    kernel = np.asarray(render_path_pallas_interpret(scene, cfg))
+    np.testing.assert_allclose(kernel, oracle, atol=2e-5, rtol=1e-4)
