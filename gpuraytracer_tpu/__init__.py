@@ -15,10 +15,11 @@ Nishad-Sharma/gpuRaytracer (Swift + Metal), re-designed TPU-first:
   * ``image``     tonemap + PNG I/O
 """
 
-from .types import (Camera, CompiledScene, RenderConfig, Scene, Spheres,
-                    SquareLight, TriangleScene)
-from .scene import cornell_box, cornell_box_with_spheres
+from .types import (BoxLights, Camera, CompiledScene, RenderConfig, Scene,
+                    SphereLights, Spheres, SquareLight, TriangleScene)
+from .scene import cornell_box, cornell_box_with_spheres, legacy_cornell
 from .intersect import closest_hit, any_hit, compile_scene
 from .render import render, render_jit, RenderOutput
+from .renderer import Renderer
 
 __version__ = "0.1.0"

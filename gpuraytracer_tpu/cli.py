@@ -20,7 +20,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("output", nargs="?", default="output.png",
                    help="output PNG filename (positional, like the reference)")
-    p.add_argument("--integrator", choices=["path", "mis", "direct"],
+    p.add_argument("--integrator",
+                   choices=["path", "mis", "direct", "legacy"],
                    default="path")
     p.add_argument("--width", type=int, default=800)
     p.add_argument("--height", type=int, default=600)
@@ -29,7 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--camera-rays", type=int, default=6)
     p.add_argument("--mis-samples", type=int, default=300)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--scene", choices=["cornell", "cornell-spheres"],
+    p.add_argument("--scene",
+                   choices=["cornell", "cornell-spheres", "legacy-sphere",
+                            "legacy-box", "legacy-square"],
                    default="cornell")
     p.add_argument("--exposure", type=float, default=2.0,
                    help="variant-B CPU tonemap exposure (image.swift:41)")
@@ -61,8 +64,15 @@ def main(argv=None) -> int:
     )
     if args.scene == "cornell":
         scene = cornell_box(resolution=(args.width, args.height))
-    else:
+    elif args.scene == "cornell-spheres":
         scene = cornell_box_with_spheres(resolution=(args.width, args.height))
+    else:
+        from .scene import legacy_cornell
+        scene = legacy_cornell(args.scene.split("-", 1)[1],
+                               resolution=(args.width, args.height))
+
+    if args.integrator == "legacy" and args.kernel != "jnp":
+        raise SystemExit("--integrator legacy supports --kernel jnp only")
 
     start = time.perf_counter()
     if args.kernel == "pallas":

@@ -388,6 +388,9 @@ def render(scene: Scene, config: RenderConfig) -> RenderOutput:
         return render_path(scene, config.replace(bounces=1))
     if config.integrator == "mis":
         return render_mis(scene, config)
+    if config.integrator == "legacy":
+        from .render_legacy import render_legacy
+        return render_legacy(scene, config)
     raise ValueError(f"unknown integrator: {config.integrator!r}")
 
 

@@ -554,3 +554,47 @@ def sample_box_light(
     cos_theta = jnp.maximum(0.0, dot(-direction, nrm))
     pdf = (dist * dist) / (total * cos_theta + 1e-6)
     return direction, pdf
+
+
+def box_light_pdf(
+    light_center: jnp.ndarray, width, height, depth,
+    point: jnp.ndarray, direction: jnp.ndarray,
+) -> jnp.ndarray:
+    """Pdf of a given direction hitting an axis-aligned box light
+    (calculateBoxLightPdf, shaders_old.metal:625-676): slab-test ray/box
+    intersection, entering-face classification by boundary coordinate, pdf =
+    d^2 / (total_area * cos_theta). Returns 0 where the ray misses the box.
+    Branchless masked form of the reference's early returns."""
+    half = jnp.stack([width * 0.5, height * 0.5, depth * 0.5], axis=-1)
+    box_min = light_center - half
+    box_max = light_center + half
+
+    # inv_dir with the reference's 1e8 clamp for near-zero components
+    # (shaders_old.metal:636-640).
+    small = jnp.abs(direction) <= 1e-8
+    inv_dir = jnp.where(small, 1e8, 1.0 / jnp.where(small, 1.0, direction))
+    t1 = (box_min - point) * inv_dir
+    t2 = (box_max - point) * inv_dir
+    t_min = jnp.minimum(t1, t2)
+    t_max = jnp.maximum(t1, t2)
+    t_near = jnp.max(t_min, axis=-1)
+    t_far = jnp.min(t_max, axis=-1)
+    hit = (t_near <= t_far) & (t_far > 0.0)
+    t = jnp.where(t_near > 0.0, t_near, t_far)
+    hit = hit & (t > 0.0)
+
+    hit_point = point + direction * t[..., None]
+    # Entering-face normal: first boundary coordinate within 1e-5, in the
+    # reference's fixed test order (-x, +x, -y, +y, -z, else +z).
+    axes = jnp.eye(3, dtype=_F32)
+    on_min = jnp.abs(hit_point - box_min) < 1e-5
+    on_max = jnp.abs(hit_point - box_max) < 1e-5
+    normal = jnp.broadcast_to(axes[2], hit_point.shape)  # default +z
+    for axis in (2, 1, 0):  # apply in reverse priority so -x wins overall
+        normal = jnp.where(on_max[..., axis, None], axes[axis], normal)
+        normal = jnp.where(on_min[..., axis, None], -axes[axis], normal)
+
+    cos_theta = jnp.abs(dot(-direction, normal))
+    total_area = 2.0 * (width * height + width * depth + height * depth)
+    pdf = (t * t) / (total_area * cos_theta + 1e-6)
+    return jnp.where(hit, pdf, 0.0)

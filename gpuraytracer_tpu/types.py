@@ -115,14 +115,53 @@ class Spheres:
 
 
 @_pytree_dataclass
+class SphereLights:
+    """SoA sphere lights (reference: SphereLightGPU, shaderTypes.h:40-45;
+    sampled by visible-cone sampling in the legacy kernel,
+    shaders_old.metal:406-451, and hit-tested analytically by
+    ``intersectLight``, shaders_old.metal:138-170)."""
+
+    center: jnp.ndarray  # [L, 3] f32
+    radius: jnp.ndarray  # [L] f32
+    color: jnp.ndarray  # [L, 3] f32 (material diffuse rgb)
+    emitted_radiance: jnp.ndarray  # [L, 3] f32
+
+    @property
+    def num_lights(self) -> int:
+        return self.center.shape[0]
+
+
+@_pytree_dataclass
+class BoxLights:
+    """SoA axis-aligned box lights (reference: BoxLightGPU,
+    shaderTypes.h:47-54; area-weighted 6-face sampling at
+    shaders_old.metal:292-404, slab-test pdf at :625-676)."""
+
+    center: jnp.ndarray  # [L, 3] f32
+    width: jnp.ndarray  # [L] f32 (x extent)
+    height: jnp.ndarray  # [L] f32 (y extent)
+    depth: jnp.ndarray  # [L] f32 (z extent)
+    color: jnp.ndarray  # [L, 3] f32
+    emitted_radiance: jnp.ndarray  # [L, 3] f32
+
+    @property
+    def num_lights(self) -> int:
+        return self.center.shape[0]
+
+
+@_pytree_dataclass
 class Scene:
     """Full scene: camera + primary light + geometry (RTrace/scene.swift:8-12),
-    extended with optional sphere geometry from the legacy tier."""
+    extended with the legacy tier's sphere geometry and sphere/box lights
+    (shaders_old.metal scene model: spheres + sphere lights, with box lights
+    as the alternate NEE target)."""
 
     camera: Camera
     light: SquareLight
     triangles: TriangleScene
     spheres: Spheres  # may be empty (S == 0)
+    sphere_lights: SphereLights  # may be empty (L == 0)
+    box_lights: BoxLights  # may be empty (L == 0)
 
 
 @_pytree_dataclass
@@ -190,6 +229,12 @@ class RenderConfig:
     camera_rays: int = 6  # variant A camera rays per pixel
     mis_samples: int = 300  # variant A total MIS samples (split across 3 strategies)
     mis_bounces: int = 2  # variant A bounce count
+    # Legacy integrator (shaders_old.metal calculateLighting, :738-921):
+    # total samples split /3 across strategies; nested bounce recursion uses
+    # legacy_bounce_samples (the reference hardcodes 30, :837,:911).
+    legacy_samples: int = 30
+    legacy_bounces: int = 2
+    legacy_bounce_samples: int = 30
     seed: int = 0
     # Compat flags (reference quirks, on by default so the oracle matches).
     integer_aspect: bool = True
@@ -217,6 +262,19 @@ def empty_spheres() -> Spheres:
     z1 = np.zeros((0,), np.float32)
     return Spheres(center=z3, radius=z1, diffuse=z3, metallic=z1, roughness=z1,
                    emissive=z3)
+
+
+def empty_sphere_lights() -> SphereLights:
+    z3 = np.zeros((0, 3), np.float32)
+    z1 = np.zeros((0,), np.float32)
+    return SphereLights(center=z3, radius=z1, color=z3, emitted_radiance=z3)
+
+
+def empty_box_lights() -> BoxLights:
+    z3 = np.zeros((0, 3), np.float32)
+    z1 = np.zeros((0,), np.float32)
+    return BoxLights(center=z3, width=z1, height=z1, depth=z1, color=z3,
+                     emitted_radiance=z3)
 
 
 def as_f32(x: Any) -> jnp.ndarray:
