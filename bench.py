@@ -55,8 +55,9 @@ def main() -> None:
     scene = jax.device_put(cornell_box(resolution=(WIDTH, HEIGHT)))
 
     try:
-        # Fastest correct fwd+bwd: Pallas trace kernel + differentiable jnp
-        # replay (ops/decoupled.py). Gradients == jax.grad of the oracle.
+        # Fastest correct fwd+bwd: Pallas trace kernel forward + hand-written
+        # Pallas backward (ops/pallas_shade.py, dispatched by
+        # ops/decoupled.py). Gradients == jax.grad of the oracle.
         from gpuraytracer_tpu.ops import render_path_decoupled
 
         def forward(s):

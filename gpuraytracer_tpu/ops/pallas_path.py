@@ -426,7 +426,8 @@ def _pack_inputs(scene: Scene, config: RenderConfig):
 
 
 def _render_pallas_impl(scene: Scene, config: RenderConfig,
-                        interpret=None, emit_records: bool = False):
+                        interpret=None, emit_records: bool = False,
+                        raw_records: bool = False):
     if interpret is None:
         # Mosaic only targets TPU; interpret elsewhere so the same entry
         # point runs in CPU CI.
@@ -489,6 +490,11 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     hdr = hdr[:n_pixels].reshape(config.height, config.width, 3)
     if not emit_records:
         return hdr
+    if raw_records:
+        # Undecoded tile-major planes, exactly as the kernel wrote them —
+        # consumed relayout-free by the hand-written backward kernel
+        # (ops/pallas_shade.py) with identical BlockSpecs.
+        return hdr, tuple(outs[3:])
 
     # Decode per-(sample, bounce) planes: rows are
     # [tile, sample, bounce, RAY_SUB] x LANES; pixel id within a tile is
