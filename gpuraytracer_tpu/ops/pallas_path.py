@@ -77,25 +77,47 @@ NROWS = 19
 SROWS = 11
 
 
+# Halton indices are offset + n with offset < 2^20 (render.pixel_rng_offsets)
+# and n < spp, so every index this kernel ever radical-inverses fits in
+# HALTON_INDEX_BITS. The jnp oracle runs the full 32-bit digit loop; the
+# extra high digits are zero there (q hits 0), so truncating the loop here is
+# value-identical.
+HALTON_INDEX_BITS = 21
+
+
 def _halton_tile(i: jnp.ndarray, d: int) -> jnp.ndarray:
-    """Halton radical inverse on a uint32 tile; fixed digit-count loop
-    (sampling.metal:107-122). Dense [RAY_SUB, 128] work."""
+    """Halton radical inverse on an index tile; fixed digit-count loop
+    (sampling.metal:107-122). Dense [RAY_SUB, 128] work.
+
+    Digit extraction runs in f32 instead of u32 div/mod: indices are < 2^21
+    so they are exact in f32, q0 = floor(i * (1/b)) is off by at most 1 from
+    rounding, and one correction step recovers the exact (quotient, digit)
+    pair — bit-identical to the oracle's integer path at a fraction of the
+    cost (TPU integer division is emulated; every op here is a single-cycle
+    VPU f32 op). Unrolled: the digit counts are small and static."""
     b = smp.PRIMES[d]
-    digits = int(math.ceil(32.0 / math.log2(b)))
+    digits = int(math.ceil(HALTON_INDEX_BITS / math.log2(b)))
     inv_b = _F32(1.0 / b)
+    bf = _F32(b)
 
     def body(_, carry):
-        f, r, i = carry
+        f, r, i_f = carry
         f = f * inv_b
-        q = i // _U32(b)
-        # Mosaic lacks uint32->f32; the digit fits in int32.
-        digit = (i - q * _U32(b)).astype(_I32).astype(_F32)
+        q = jnp.floor(i_f * inv_b)
+        digit = i_f - q * bf  # exact: both products are small integers
+        # Correct the rounded quotient (at most one step either way).
+        too_low = digit >= bf
+        too_high = digit < 0.0
+        q = jnp.where(too_low, q + 1.0, jnp.where(too_high, q - 1.0, q))
+        digit = jnp.where(too_low, digit - bf,
+                          jnp.where(too_high, digit + bf, digit))
         r = r + f * digit
         return f, r, q
 
     r0 = jnp.zeros(i.shape, _F32)
     f0 = r0 + 1.0
-    _, r, _ = jax.lax.fori_loop(0, digits, body, (f0, r0, i), unroll=False)
+    i_f = i.astype(_I32).astype(_F32)  # < 2^21: exact
+    _, r, _ = jax.lax.fori_loop(0, digits, body, (f0, r0, i_f), unroll=True)
     return r
 
 
