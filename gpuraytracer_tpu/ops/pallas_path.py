@@ -128,8 +128,8 @@ def _normalize3(x, y, z):
 
 def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                  num_spheres: int, emit_records: bool,
-                 offsets_ref, cam_ref, light_ref, tri_ref, sph_ref,
-                 out_r_ref, out_g_ref, out_b_ref, *rec_refs):
+                 offsets_ref, rid_base_ref, cam_ref, light_ref, tri_ref,
+                 sph_ref, out_r_ref, out_g_ref, out_b_ref, *rec_refs):
     """One [RAY_SUB, 128] tile of rays: full spp x bounces path trace.
 
     With ``emit_records``, also writes one int32 visibility record per
@@ -144,7 +144,10 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     pid = pl.program_id(0)
     sub = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 0)
     lanei = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 1)
-    rid = pid * TILE + sub * LANES + lanei
+    # Global pixel id: rid_base is the shard's first pixel (0 single-chip;
+    # axis_index * shard_size under shard_map) so sharded rendering keeps
+    # every per-pixel quantity a pure function of the global pixel.
+    rid = rid_base_ref[0, 0] + pid * TILE + sub * LANES + lanei
     px = (rid % W).astype(_F32)
     py = (rid // W).astype(_F32)
     in_image = rid < n_pixels
@@ -449,21 +452,30 @@ def _pack_inputs(scene: Scene, config: RenderConfig):
 
 def _render_pallas_impl(scene: Scene, config: RenderConfig,
                         interpret=None, emit_records: bool = False,
-                        raw_records: bool = False):
+                        raw_records: bool = False,
+                        local_offsets=None, rid_base=None,
+                        flat_output: bool = False):
+    """Single-chip entry when local_offsets/rid_base are None; under
+    shard_map, pass the shard's RNG-offset slice and its global first pixel
+    id ([1, 1] i32) — outputs are then the shard's flat [local, 3] hdr."""
     if interpret is None:
         # Mosaic only targets TPU; interpret elsewhere so the same entry
         # point runs in CPU CI.
         interpret = jax.default_backend() != "tpu"
     n_pixels = config.num_pixels
-    n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
-    grid = (n_padded // TILE,)
     num_tris = scene.triangles.num_triangles
     num_spheres = scene.spheres.num_spheres
     assert num_tris + num_spheres + 1 < 512, "record encoding limit"
 
     tri, cam_vec, light_vec, sph = _pack_inputs(scene, config)
-    offsets = pixel_rng_offsets(config)
-    offsets = jnp.pad(offsets, (0, n_padded - n_pixels)).reshape(-1, LANES)
+    if local_offsets is None:
+        local_offsets = pixel_rng_offsets(config)
+    if rid_base is None:
+        rid_base = jnp.zeros((1, 1), _I32)
+    n_local = local_offsets.shape[0]
+    n_padded = ((n_local + TILE - 1) // TILE) * TILE
+    grid = (n_padded // TILE,)
+    offsets = jnp.pad(local_offsets, (0, n_padded - n_local)).reshape(-1, LANES)
 
     kernel = partial(_path_kernel, config, n_pixels, num_tris, num_spheres,
                      emit_records)
@@ -494,6 +506,8 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
         in_specs=[
             pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),        # offsets
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),        # rid_base
             pl.BlockSpec((1, 12), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),        # camera
             pl.BlockSpec((1, 6), lambda i: (0, 0),
@@ -506,10 +520,13 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
         out_specs=tuple(out_spec_list),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(offsets, cam_vec, light_vec, tri, sph)
+    )(offsets, rid_base, cam_vec, light_vec, tri, sph)
     r, g, b = outs[:3]
     hdr = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
-    hdr = hdr[:n_pixels].reshape(config.height, config.width, 3)
+    if flat_output:
+        hdr = hdr[:n_local]
+    else:
+        hdr = hdr[:n_local].reshape(config.height, config.width, 3)
     if not emit_records:
         return hdr
     if raw_records:
@@ -524,12 +541,12 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     def sb(x):
         x = x.reshape(grid[0], config.spp, config.bounces, RAY_SUB * LANES)
         return jnp.moveaxis(x, 0, 2).reshape(
-            config.spp, config.bounces, n_padded)[:, :, :n_pixels]
+            config.spp, config.bounces, n_padded)[:, :, :n_local]
 
     def s(x):
         x = x.reshape(grid[0], config.spp, RAY_SUB * LANES)
         return jnp.moveaxis(x, 0, 1).reshape(
-            config.spp, n_padded)[:, :n_pixels]
+            config.spp, n_padded)[:, :n_local]
 
     rec, nee0, nee1, cos0, cos1 = (sb(o) for o in outs[3:8])
     jx, jy = (s(o) for o in outs[8:10])

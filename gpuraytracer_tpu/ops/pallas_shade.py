@@ -60,8 +60,8 @@ NSCAL = 21  # pos(3) hu(3) hv(3) wb(3) lc(3) lcol(3) ln(3)
 def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                       g_r_ref, g_g_ref, g_b_ref,
                       rec_ref, nee0_ref, nee1_ref, cos0_ref, cos1_ref,
-                      jx_ref, jy_ref, table_ref, cam_ref, light_ref,
-                      dtab_ref, dscal_ref):
+                      jx_ref, jy_ref, rid_base_ref, table_ref, cam_ref,
+                      light_ref, dtab_ref, dscal_ref):
     """One ray tile: recompute every sample's path from the aux planes, then
     reverse the bounce chain accumulating parameter cotangents."""
     W = config.width
@@ -73,7 +73,8 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     pid = pl.program_id(0)
     sub = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 0)
     lanei = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 1)
-    rid = pid * TILE + sub * LANES + lanei
+    # Global pixel id (rid_base = shard's first pixel under shard_map).
+    rid = rid_base_ref[0, 0] + pid * TILE + sub * LANES + lanei
     px = (rid % W).astype(_F32)
     py = (rid // W).astype(_F32)
     in_image = rid < n_pixels
@@ -419,8 +420,8 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
 def _bwd_pallas(config: RenderConfig, n_pixels: int, num_tris: int,
                 g_planes, aux_planes, table, cam_vec, light_vec,
-                interpret: bool):
-    n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
+                interpret: bool, rid_base, n_local: int):
+    n_padded = ((n_local + TILE - 1) // TILE) * TILE
     grid = (n_padded // TILE,)
     nsb = config.spp * config.bounces
 
@@ -438,6 +439,8 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_tris: int,
         in_specs=[ray_spec, ray_spec, ray_spec,             # g r/g/b
                   sb_spec, sb_spec, sb_spec, sb_spec, sb_spec,  # rec + uv
                   s_spec, s_spec,                           # jitter
+                  pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),    # rid_base
                   pl.BlockSpec((11, num_tris), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),    # table
                   pl.BlockSpec((1, 12), lambda i: (0, 0),
@@ -453,7 +456,7 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_tris: int,
         out_shape=(jax.ShapeDtypeStruct((num_tris, NTAB), _F32),
                    jax.ShapeDtypeStruct((1, NSCAL), _F32)),
         interpret=interpret,
-    )(*g_planes, *aux_planes, table, cam_vec, light_vec)
+    )(*g_planes, *aux_planes, rid_base, table, cam_vec, light_vec)
     return dtab, dscal
 
 
@@ -464,30 +467,30 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_tris: int,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _attach_grad(config: RenderConfig, interpret, hdr, table, cam_vec,
-                 light_vec, aux_planes):
+                 light_vec, aux_planes, rid_base):
     return hdr
 
 
 def _attach_fwd(config, interpret, hdr, table, cam_vec, light_vec,
-                aux_planes):
-    return hdr, (table, cam_vec, light_vec, aux_planes)
+                aux_planes, rid_base):
+    return hdr, (table, cam_vec, light_vec, aux_planes, rid_base)
 
 
 def _attach_bwd(config, interpret, resids, g):
-    table, cam_vec, light_vec, aux_planes = resids
-    n_pixels = config.num_pixels
-    n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
+    table, cam_vec, light_vec, aux_planes, rid_base = resids
+    n_local = g.shape[0] * (g.shape[1] if g.ndim == 3 else 1)
+    n_padded = ((n_local + TILE - 1) // TILE) * TILE
     num_tris = table.shape[1]
 
-    # hdr cotangent [H, W, 3] -> padded tile planes, pre-scaled by 1/spp
-    # (hdr = sum_samples acc / spp).
+    # hdr cotangent ([H, W, 3] or flat [local, 3]) -> padded tile planes,
+    # pre-scaled by 1/spp (hdr = sum_samples acc / spp).
     gs = (g * _F32(1.0 / config.spp)).reshape(-1, 3)
-    gs = jnp.pad(gs, ((0, n_padded - n_pixels), (0, 0)))
+    gs = jnp.pad(gs, ((0, n_padded - n_local), (0, 0)))
     g_planes = tuple(gs[:, c].reshape(-1, LANES) for c in range(3))
 
-    dtab, dscal = _bwd_pallas(config, n_pixels, num_tris, g_planes,
+    dtab, dscal = _bwd_pallas(config, config.num_pixels, num_tris, g_planes,
                               aux_planes, table, cam_vec, light_vec,
-                              interpret)
+                              interpret, rid_base, n_local)
     d_table = jnp.concatenate(
         [dtab.T, jnp.zeros((1, num_tris), _F32)], axis=0)  # +is_em row
     d_cam = dscal[:, 0:12]
@@ -502,7 +505,8 @@ def _attach_bwd(config, interpret, resids, g):
                    if jnp.issubdtype(x.dtype, jnp.integer)
                    else jnp.zeros_like(x)),
         aux_planes)
-    return g, d_table, d_cam, d_light, d_aux
+    d_rid = np.zeros(rid_base.shape, jax.dtypes.float0)
+    return g, d_table, d_cam, d_light, d_aux, d_rid
 
 
 _attach_grad.defvjp(_attach_fwd, _attach_bwd)
@@ -555,4 +559,25 @@ def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
                                    raw_records=True)
     table, cam_vec, light_vec = _pack_diff_inputs(scene, config)
     return _attach_grad(config, interpret, hdr, table, cam_vec, light_vec,
-                        tuple(aux))
+                        tuple(aux), jnp.zeros((1, 1), jnp.int32))
+
+
+def render_path_fused_local(scene: Scene, config: RenderConfig,
+                            local_offsets, rid_base, interpret=None):
+    """Shard-local fused render for use inside ``shard_map`` (see
+    parallel/fast.py): renders the pixels [rid_base, rid_base + len(offsets))
+    and returns flat [local, 3] hdr with the hand-written backward attached.
+    Cotangents for the replicated scene parameters are per-shard partials —
+    shard_map's transpose inserts the psum."""
+    if scene.spheres.num_spheres:
+        raise ValueError("fused decoupled path supports triangle scenes")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hdr, aux = _render_pallas_impl(jax.lax.stop_gradient(scene), config,
+                                   interpret=interpret, emit_records=True,
+                                   raw_records=True,
+                                   local_offsets=local_offsets,
+                                   rid_base=rid_base, flat_output=True)
+    table, cam_vec, light_vec = _pack_diff_inputs(scene, config)
+    return _attach_grad(config, interpret, hdr, table, cam_vec, light_vec,
+                        tuple(aux), rid_base)
