@@ -25,8 +25,6 @@ silhouettes stay hard (config 4 optimizes spheres, not walls).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

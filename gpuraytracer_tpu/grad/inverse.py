@@ -18,13 +18,13 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..render import render
-from ..types import RenderConfig, Scene, Spheres
+from ..types import RenderConfig, Scene
 
 
 class SceneParams(NamedTuple):

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .sampling import dot, cross
-from .types import CompiledScene, Scene, Spheres, TriangleScene
+from .types import CompiledScene, Spheres, TriangleScene
 
 RAY_TMIN = 1e-3
 RAY_TMAX = 1e3

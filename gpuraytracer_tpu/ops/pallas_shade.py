@@ -37,7 +37,6 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +45,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import sampling as smp
 from ..intersect import compile_scene
-from ..render import pixel_rng_offsets
 from ..types import RenderConfig, Scene
 from .pallas_path import LANES, RAY_SUB, TILE, _render_pallas_impl
 

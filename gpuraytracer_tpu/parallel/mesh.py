@@ -15,7 +15,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..render import _path_trace_chunk, pixel_coords, pixel_rng_offsets
 from ..intersect import compile_scene

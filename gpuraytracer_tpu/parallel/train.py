@@ -9,7 +9,7 @@ analog of DDP gradient all-reduce, riding ICI collectives (SURVEY.md §2.4).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ bound the [rays, triangles] working set; samples loop inside the chunk.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -27,7 +26,7 @@ import jax.numpy as jnp
 
 from . import sampling as smp
 from .brdf import brdf_contribution
-from .intersect import RAY_TMAX, RAY_TMIN, Hit, any_hit, closest_hit, compile_scene
+from .intersect import RAY_TMAX, RAY_TMIN, any_hit, closest_hit, compile_scene
 from .types import CompiledScene, RenderConfig, Scene
 
 _F32 = jnp.float32

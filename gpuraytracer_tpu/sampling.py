@@ -13,12 +13,10 @@ sharded rendering bit-identical to single-device rendering (SURVEY.md §7).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # Prime bases for the Halton sequence (sampling.metal:97-104).
 PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37,
