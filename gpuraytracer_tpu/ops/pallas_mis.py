@@ -69,6 +69,13 @@ NTAB = 10
 (TAB_LU0, TAB_LU1, TAB_CU0, TAB_CU1, TAB_CSU0, TAB_CSU1,
  TAB_VU0, TAB_VU1, TAB_VSU0, TAB_VSU1) = range(NTAB)
 
+# Attribute-table rows ([NATTR, T] VMEM): shading attributes fetched per
+# closest-hit by a one-hot MXU matmul over the winning triangle index
+# instead of 9 carried where-select planes per primitive (same trick as
+# pallas_path.closest): normal xyz, diffuse rgb, metallic, roughness,
+# is_emissive.
+NATTR = 9
+
 
 def _normalize3(x, y, z):
     inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
@@ -180,7 +187,7 @@ def _power_heuristic_3(p1, p2, p3, n):
 
 def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 offsets_unused, cam_ref, light_ref, tri_ref, tab_ref,
-                out_r_ref, out_g_ref, out_b_ref):
+                atab_ref, out_r_ref, out_g_ref, out_b_ref):
     """One [RAY_SUB, 128] tile of pixels through the full variant-A pipeline.
     Outputs raw accumulated color (pre exposure/tonemap), like the oracle."""
     W = config.width
@@ -211,19 +218,20 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
     tris = []
     for t in range(num_tris):
-        tris.append(tuple(tri_ref[r, t] for r in range(NROWS)))
+        tris.append(tuple(tri_ref[r, t] for r in range(12)))
+
+    p_iota = jax.lax.broadcasted_iota(_I32, (num_tris, TILE), 0)
 
     def closest_full(ox, oy, oz, dx, dy, dz):
-        """Closest hit returning full shading attrs (10 running tiles)."""
+        """Closest hit returning full shading attrs. Only (t_best, prim_f)
+        are carried through the triangle loop; the 9 attribute planes come
+        from one post-loop one-hot [NATTR, T] @ [T, TILE] MXU matmul —
+        exact for 0/1 one-hot operands under HIGHEST (same trick as
+        pallas_path.closest)."""
         t_best = jnp.full((RAY_SUB, LANES), BIG, _F32)
-        z = t_best * 0.0
-        nhx, nhy, nhz = z, z, z
-        dfr, dfg, dfb = z, z, z
-        met, rgh, isem = z, z, z
-        for tri in tris:
-            nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2, \
-                dr, dg, db, sem = tri[:16]
-            tmet, trgh = tri[ROW_MET], tri[ROW_RGH]
+        prim_f = t_best * 0.0 - 1.0
+        for t_idx, tri in enumerate(tris):
+            nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2 = tri
             den = dx * nx + dy * ny + dz * nz
             num = c0 - (ox * nx + oy * ny + oz * nz)
             ok = jnp.abs(den) >= 1e-12
@@ -236,17 +244,17 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                       & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                       & (tt < t_best))
             t_best = jnp.where(closer, tt, t_best)
-            nhx = jnp.where(closer, nx, nhx)
-            nhy = jnp.where(closer, ny, nhy)
-            nhz = jnp.where(closer, nz, nhz)
-            dfr = jnp.where(closer, dr, dfr)
-            dfg = jnp.where(closer, dg, dfg)
-            dfb = jnp.where(closer, db, dfb)
-            met = jnp.where(closer, tmet, met)
-            rgh = jnp.where(closer, trgh, rgh)
-            isem = jnp.where(closer, sem, isem)
+            prim_f = jnp.where(closer, _F32(t_idx), prim_f)
         hit = t_best < BIG * 0.5
-        return hit, t_best, nhx, nhy, nhz, dfr, dfg, dfb, met, rgh, isem
+        pc = jnp.clip(prim_f, 0.0, _F32(num_tris - 1)).astype(_I32)
+        onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
+        at = jax.lax.dot_general(
+            atab_ref[...], onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=_F32,
+            precision=jax.lax.Precision.HIGHEST)  # [NATTR, TILE]
+        at = at.reshape(NATTR, RAY_SUB, LANES)
+        return (hit, t_best, at[0], at[1], at[2], at[3], at[4], at[5],
+                at[6], at[7], at[8])
 
     def light_reachable(ox, oy, oz, dx, dy, dz, t_max):
         """No occluder strictly short of the light-sample distance — the
@@ -529,7 +537,15 @@ def _pack_inputs(scene: Scene, config: RenderConfig):
         smp.halton(i + _U32(2 * s), 4), smp.halton(i + _U32(2 * s), 5),
         smp.halton(i + _U32(s), 6), smp.halton(i + _U32(s), 7),      # vndf sec
     ])  # [NTAB, S]
-    return tri, cam_vec, light_vec, tabs
+
+    # One-hot fetch table [NATTR, T] (row order matches _mis_kernel's
+    # closest_full unpack).
+    atab = jnp.stack([
+        tri[ROW_NX], tri[ROW_NY], tri[ROW_NZ],
+        tri[ROW_DR], tri[ROW_DG], tri[ROW_DB],
+        tri[ROW_MET], tri[ROW_RGH], tri[ROW_ISEM],
+    ])  # [NATTR, T]
+    return tri, cam_vec, light_vec, tabs, atab
 
 
 def _render_mis_impl(scene: Scene, config: RenderConfig, interpret=None):
@@ -544,7 +560,7 @@ def _render_mis_impl(scene: Scene, config: RenderConfig, interpret=None):
     grid = (n_padded // TILE,)
     num_tris = scene.triangles.num_triangles
 
-    tri, cam_vec, light_vec, tabs = _pack_inputs(scene, config)
+    tri, cam_vec, light_vec, tabs, atab = _pack_inputs(scene, config)
     # Kernel reads no per-pixel input; pass a dummy so in/out specs line up
     # with pallas_path's layout conventions.
     dummy = jnp.zeros((n_padded // LANES, LANES), _F32)
@@ -568,11 +584,13 @@ def _render_mis_impl(scene: Scene, config: RenderConfig, interpret=None):
                          memory_space=pltpu.SMEM),            # triangles
             pl.BlockSpec((NTAB, s_per), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),            # sample tables
+            pl.BlockSpec((NATTR, num_tris), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # one-hot table
         ],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(plane, plane, plane),
         interpret=interpret,
-    )(dummy, cam_vec, light_vec, tri, tabs)
+    )(dummy, cam_vec, light_vec, tri, tabs, atab)
     hdr = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     return hdr[:n_pixels].reshape(config.height, config.width, 3)
 

@@ -75,6 +75,14 @@ NROWS = 19
 # diffuse rgb, is_emissive, emissive rgb.
 SROWS = 11
 
+# Attribute-table rows ([NATTR, num_tris + num_spheres] VMEM table): shading
+# attributes of every primitive, fetched once per bounce by a one-hot MXU
+# matmul over the winning primitive index instead of being carried through
+# the closest-hit select chain (10 fewer where-selects per primitive per
+# ray). Rows: normal xyz (zeros for spheres), diffuse rgb, emissive rgb,
+# is_emissive, sphere-center xyz (zeros for triangles).
+NATTR = 13
+
 
 # Halton indices are offset + n with offset < 2^20 (render.pixel_rng_offsets)
 # and n < spp, so every index this kernel ever radical-inverses fits in
@@ -128,7 +136,8 @@ def _normalize3(x, y, z):
 def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                  num_spheres: int, emit_records: bool,
                  offsets_ref, rid_base_ref, cam_ref, light_ref, tri_ref,
-                 sph_ref, out_r_ref, out_g_ref, out_b_ref, *rec_refs):
+                 sph_ref, atab_ref, out_r_ref, out_g_ref, out_b_ref,
+                 *rec_refs):
     """One [RAY_SUB, 128] tile of rays: full spp x bounces path trace.
 
     With ``emit_records``, also writes one int32 visibility record per
@@ -159,13 +168,17 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     lr, lg, lb = light_ref[0, 3], light_ref[0, 4], light_ref[0, 5]
 
     # Hoist all triangle/sphere scalars out of the sample loop
-    # (loop-invariant).
+    # (loop-invariant). Only the 12 geometry rows are consumed in-kernel;
+    # shading attributes come from the one-hot fetch table.
     tris = []
     for t in range(num_tris):
-        tris.append(tuple(tri_ref[r, t] for r in range(NROWS)))
+        tris.append(tuple(tri_ref[r, t] for r in range(12)))
     sphs = []
     for s_i in range(num_spheres):
         sphs.append(tuple(sph_ref[r, s_i] for r in range(SROWS)))
+
+    n_prims = num_tris + num_spheres
+    p_iota = jax.lax.broadcasted_iota(_I32, (n_prims, TILE), 0)
 
     def sphere_roots(sph, ox, oy, oz, dx, dy, dz):
         """Quadratic ray/sphere roots (shaders_old.metal:108-136; same op
@@ -184,17 +197,17 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
     def closest(ox, oy, oz, dx, dy, dz):
         """Running-min closest hit over the static triangle loop. Returns
-        (hit, t, prim_f, normal xyz, diffuse rgb, emissive rgb, is_em)."""
+        (hit, t, prim_f, normal xyz, diffuse rgb, emissive rgb, is_em).
+
+        Only (t_best, prim_f) are carried through the primitive loop; the 10
+        shading-attribute planes are fetched once at the end by a one-hot
+        [NATTR, P] @ [P, TILE] MXU matmul over the winning index — exact
+        (0/1 one-hot operands under HIGHEST), and ~10 fewer VPU selects per
+        primitive per ray than carrying the attributes through the chain."""
         t_best = jnp.full((RAY_SUB, LANES), BIG, _F32)
-        nhx = t_best * 0.0
-        nhy, nhz = nhx, nhx
-        dfr, dfg, dfb = nhx, nhx, nhx
-        emr, emg, emb = nhx, nhx, nhx
-        isem = nhx
-        prim_f = nhx - 1.0  # winning primitive index as f32, -1 = miss
+        prim_f = t_best * 0.0 - 1.0  # winning primitive index, -1 = miss
         for t_idx, tri in enumerate(tris):
-            (nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2,
-             dr, dg, db, sem, er, eg, eb) = tri
+            (nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2) = tri
             den = dx * nx + dy * ny + dz * nz
             num = c0 - (ox * nx + oy * ny + oz * nz)
             ok = jnp.abs(den) >= 1e-12
@@ -207,44 +220,37 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                       & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                       & (tt < t_best))
             t_best = jnp.where(closer, tt, t_best)
-            nhx = jnp.where(closer, nx, nhx)
-            nhy = jnp.where(closer, ny, nhy)
-            nhz = jnp.where(closer, nz, nhz)
-            dfr = jnp.where(closer, dr, dfr)
-            dfg = jnp.where(closer, dg, dfg)
-            dfb = jnp.where(closer, db, dfb)
-            emr = jnp.where(closer, er, emr)
-            emg = jnp.where(closer, eg, emg)
-            emb = jnp.where(closer, eb, emb)
-            isem = jnp.where(closer, sem, isem)
             prim_f = jnp.where(closer, _F32(t_idx), prim_f)
         # Analytic spheres after triangles (ties keep the triangle, like the
         # oracle's first-min argmin over [tris..., spheres...]).
-        wcx, wcy, wcz = nhx * 0.0, nhx * 0.0, nhx * 0.0
         for s_idx, sph in enumerate(sphs):
-            scx, scy, scz, rad, dr, dg, db, sem, er, eg, eb = sph
             pos, t1, t2 = sphere_roots(sph, ox, oy, oz, dx, dy, dz)
             t1_ok = (t1 > RAY_TMIN) & (t1 < RAY_TMAX)
             t2_ok = (t2 > RAY_TMIN) & (t2 < RAY_TMAX)
             tt = jnp.where(t1_ok, t1, t2)
             closer = pos & (t1_ok | t2_ok) & (tt < t_best)
             t_best = jnp.where(closer, tt, t_best)
-            dfr = jnp.where(closer, dr, dfr)
-            dfg = jnp.where(closer, dg, dfg)
-            dfb = jnp.where(closer, db, dfb)
-            emr = jnp.where(closer, er, emr)
-            emg = jnp.where(closer, eg, emg)
-            emb = jnp.where(closer, eb, emb)
-            isem = jnp.where(closer, sem, isem)
             prim_f = jnp.where(closer, _F32(num_tris + s_idx), prim_f)
-            wcx = jnp.where(closer, scx, wcx)
-            wcy = jnp.where(closer, scy, wcy)
-            wcz = jnp.where(closer, scz, wcz)
         hit = t_best < BIG * 0.5
+        # One-hot attribute fetch. Miss lanes clamp to primitive 0; every
+        # consumer is gated by ``hit``-derived masks downstream.
+        pc = jnp.clip(prim_f, 0.0, _F32(n_prims - 1)).astype(_I32)
+        onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
+        at = jax.lax.dot_general(
+            atab_ref[...], onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=_F32,
+            precision=jax.lax.Precision.HIGHEST)  # [NATTR, TILE]
+        at = at.reshape(NATTR, RAY_SUB, LANES)
+        nhx, nhy, nhz = at[0], at[1], at[2]
+        dfr, dfg, dfb = at[3], at[4], at[5]
+        emr, emg, emb = at[6], at[7], at[8]
+        isem = at[9]
         if num_spheres:
             # Sphere normal: (hit point - center) normalized
-            # (shaders_old.metal:122-123); select over the triangle normal.
+            # (shaders_old.metal:122-123); select over the triangle normal
+            # (zeros in the table's sphere columns).
             sphere_won = hit & (prim_f >= _F32(num_tris))
+            wcx, wcy, wcz = at[10], at[11], at[12]
             t_s = jnp.where(sphere_won, t_best, 0.0)
             nvx = ox + dx * t_s - wcx
             nvy = oy + dy * t_s - wcy
@@ -446,7 +452,32 @@ def _pack_inputs(scene: Scene, config: RenderConfig):
         ])  # [SROWS, S]
     else:
         sph = jnp.zeros((SROWS, 1), _F32)  # placeholder; loops are empty
-    return tri, cam_vec, light_vec, sph
+
+    # One-hot fetch table [NATTR, tris + spheres]: shading attributes per
+    # primitive, column order matching the kernel's prim_f encoding
+    # (triangles first, then spheres).
+    n_t = scene.triangles.num_triangles
+    zt = jnp.zeros((3, n_t), _F32)
+    tri_cols = jnp.concatenate([
+        tri[ROW_NX:ROW_NZ + 1],                      # normal
+        tri[ROW_DR:ROW_DB + 1],                      # diffuse
+        tri[ROW_ER:ROW_EB + 1],                      # emissive
+        tri[ROW_ISEM:ROW_ISEM + 1],                  # is_emissive
+        zt,                                          # sphere center (n/a)
+    ], axis=0)  # [NATTR, T]
+    if sp.num_spheres:
+        zs = jnp.zeros((3, sp.num_spheres), _F32)
+        sph_cols = jnp.concatenate([
+            zs,                                      # normal (computed)
+            sph[4:7],                                # diffuse
+            sph[8:11],                               # emissive
+            sph[7:8],                                # is_emissive
+            sph[0:3],                                # center
+        ], axis=0)  # [NATTR, S]
+        atab = jnp.concatenate([tri_cols, sph_cols], axis=1)
+    else:
+        atab = tri_cols
+    return tri, cam_vec, light_vec, sph, atab
 
 
 def _render_pallas_impl(scene: Scene, config: RenderConfig,
@@ -466,7 +497,7 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     num_spheres = scene.spheres.num_spheres
     assert num_tris + num_spheres + 1 < 512, "record encoding limit"
 
-    tri, cam_vec, light_vec, sph = _pack_inputs(scene, config)
+    tri, cam_vec, light_vec, sph, atab = _pack_inputs(scene, config)
     if local_offsets is None:
         local_offsets = pixel_rng_offsets(config)
     if rid_base is None:
@@ -515,11 +546,13 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
                          memory_space=pltpu.SMEM),        # triangles
             pl.BlockSpec((SROWS, max(num_spheres, 1)), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),        # spheres
+            pl.BlockSpec((NATTR, num_tris + num_spheres), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),        # one-hot fetch table
         ],
         out_specs=tuple(out_spec_list),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(offsets, rid_base, cam_vec, light_vec, tri, sph)
+    )(offsets, rid_base, cam_vec, light_vec, tri, sph, atab)
     r, g, b = outs[:3]
     hdr = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     if flat_output:
