@@ -4,8 +4,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .sampling import (d_ggx, dot, f_schlick, fd_lambert, normalize,
-                       v_smith_ggx_correlated)
+from .sampling import (_safe_normalize, d_ggx, dot, f_schlick, fd_lambert,
+                       normalize, v_smith_ggx_correlated)
 
 
 def brdf_contribution(
@@ -24,7 +24,7 @@ def brdf_contribution(
     v = -normalize(incoming_dir)
     n = normal
     l = light_dir
-    h = normalize(v + l)
+    h = _safe_normalize(v + l)  # l == -v (masked lanes) must stay finite
 
     n_dot_v = jnp.abs(dot(n, v)) + 1e-5
     n_dot_l = jnp.clip(dot(n, l), 0.0, 1.0)

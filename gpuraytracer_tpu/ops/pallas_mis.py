@@ -69,12 +69,16 @@ NTAB = 10
 (TAB_LU0, TAB_LU1, TAB_CU0, TAB_CU1, TAB_CSU0, TAB_CSU1,
  TAB_VU0, TAB_VU1, TAB_VSU0, TAB_VSU1) = range(NTAB)
 
-# Attribute-table rows ([NATTR, T] VMEM): shading attributes fetched per
-# closest-hit by a one-hot MXU matmul over the winning triangle index
+# Attribute-table rows ([NATTR, T + S] VMEM): shading attributes fetched per
+# closest-hit by a one-hot MXU matmul over the winning primitive index
 # instead of 9 carried where-select planes per primitive (same trick as
-# pallas_path.closest): normal xyz, diffuse rgb, metallic, roughness,
-# is_emissive.
-NATTR = 9
+# pallas_path.closest): normal xyz (zeros for spheres), diffuse rgb,
+# metallic, roughness, is_emissive, sphere-center xyz (zeros for triangles).
+NATTR = 12
+
+# Sphere-constant rows ([SROWS, S] SMEM): center xyz, radius (geometry only;
+# shading attrs ride the one-hot table).
+SROWS = 4
 
 
 def _normalize3(x, y, z):
@@ -121,14 +125,16 @@ def _ortho_basis(nx, ny, nz):
 
 
 def _d_ggx(n_dot_h, a):
+    # +1e-20: AD-safety against 0/0 on masked roughness-0 lanes (mirrors
+    # sampling.d_ggx exactly — oracle/kernel parity).
     f = (n_dot_h * a * a - n_dot_h) * n_dot_h + 1.0
-    return (a * a) / (_F32(PI) * f * f)
+    return (a * a) / (_F32(PI) * f * f + 1e-20)
 
 
 def _smith_g1(n_dot_v, roughness):
     a = roughness * roughness
     a2 = a * a
-    nv2 = n_dot_v * n_dot_v
+    nv2 = jnp.maximum(n_dot_v * n_dot_v, 1e-12)  # sampling.smith_g1_ggx
     return 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * (1.0 - nv2) / nv2))
 
 
@@ -150,10 +156,14 @@ def _brdf(vx, vy, vz, nx, ny, nz, dfr, dfg, dfb, met, rgh, lx, ly, lz):
     fr_ = f0r + (1.0 - f0r) * p5
     fg_ = f0g + (1.0 - f0g) * p5
     fb_ = f0b + (1.0 - f0b) * p5
+    # Guards mirror sampling.v_smith_ggx_correlated (AD safety on masked
+    # roughness-0 lanes; value-preserving on live lanes).
     a = rgh * rgh
-    ggx_l = n_dot_v * jnp.sqrt((-n_dot_l * a + n_dot_l) * n_dot_l + a)
-    ggx_v = n_dot_l * jnp.sqrt((-n_dot_v * a + n_dot_v) * n_dot_v + a)
-    vis = 0.5 / (ggx_v + ggx_l)
+    ggx_l = n_dot_v * jnp.sqrt(jnp.maximum(
+        (-n_dot_l * a + n_dot_l) * n_dot_l + a, 1e-12))
+    ggx_v = n_dot_l * jnp.sqrt(jnp.maximum(
+        (-n_dot_v * a + n_dot_v) * n_dot_v + a, 1e-12))
+    vis = 0.5 / (ggx_v + ggx_l + 1e-7)
     spec = (d * vis) / (4.0 * n_dot_v * n_dot_l + 1e-7)
     fd = _F32(1.0 / PI)
     out = []
@@ -168,14 +178,15 @@ def _cosine_pdf(nx, ny, nz, dx, dy, dz):
 
 
 def _vndf_pdf(vx, vy, vz, nx, ny, nz, lx, ly, lz, rgh):
-    """D * G1 * VoH / (4 NoV) (shaders.metal:437-445). ``v`` = view dir."""
+    """D * G1 * VoH / (4 NoV + 1e-7) (shaders.metal:437-445; the epsilon
+    mirrors sampling.vndf_pdf's AD guard). ``v`` = view dir."""
     hx, hy, hz = _normalize3(vx + lx, vy + ly, vz + lz)
     n_dot_h = jnp.abs(_dot3(nx, ny, nz, hx, hy, hz))
     v_dot_h = jnp.abs(_dot3(vx, vy, vz, hx, hy, hz))
     n_dot_v = jnp.abs(_dot3(nx, ny, nz, vx, vy, vz))
     d = _d_ggx(n_dot_h, rgh)
     g1 = _smith_g1(n_dot_v, rgh)
-    return (d * g1 * v_dot_h) / (4.0 * n_dot_v)
+    return (d * g1 * v_dot_h) / (4.0 * n_dot_v + 1e-7)
 
 
 def _power_heuristic_3(p1, p2, p3, n):
@@ -186,10 +197,22 @@ def _power_heuristic_3(p1, p2, p3, n):
 
 
 def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
-                offsets_unused, cam_ref, light_ref, tri_ref, tab_ref,
-                atab_ref, out_r_ref, out_g_ref, out_b_ref):
+                num_spheres: int, emit_records: bool,
+                offsets_unused, cam_ref, light_ref, tri_ref, sph_ref,
+                tab_ref, atab_ref, out_r_ref, out_g_ref, out_b_ref,
+                *rec_refs):
     """One [RAY_SUB, 128] tile of pixels through the full variant-A pipeline.
-    Outputs raw accumulated color (pre exposure/tonemap), like the oracle."""
+    Outputs raw accumulated color (pre exposure/tonemap), like the oracle.
+
+    With ``emit_records`` (the differentiable fused path,
+    ops/pallas_mis_bwd.py), also writes the integrator's discrete decisions:
+      rec_refs[0]  per (camera ray, pixel):  int32 camera closest-hit code
+                   = prim + 1 (0 = miss)
+      rec_refs[1]  per (camera ray, sample, pixel): packed int32
+                   = reach1 | reach2<<1 | reach3<<2      (light probes)
+                   | (cos_prim + 1) << 3 | (vndf_prim + 1) << 13
+    These replay the kernel's visibility/argmin decisions in the backward
+    kernel, which treats them (correctly) as piecewise constant."""
     W = config.width
     s_per = config.mis_samples // 3
 
@@ -219,13 +242,32 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     tris = []
     for t in range(num_tris):
         tris.append(tuple(tri_ref[r, t] for r in range(12)))
+    sphs = []
+    for s_i in range(num_spheres):
+        sphs.append(tuple(sph_ref[r, s_i] for r in range(SROWS)))
 
-    p_iota = jax.lax.broadcasted_iota(_I32, (num_tris, TILE), 0)
+    n_prims = num_tris + num_spheres
+    p_iota = jax.lax.broadcasted_iota(_I32, (n_prims, TILE), 0)
+
+    def sphere_roots(sph, ox, oy, oz, dx, dy, dz):
+        """Quadratic ray/sphere roots (shaders_old.metal:108-136; same op
+        order as intersect._sphere_candidates for oracle parity)."""
+        scx, scy, scz, rad = sph
+        ocx, ocy, ocz = ox - scx, oy - scy, oz - scz
+        a = dx * dx + dy * dy + dz * dz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = (ocx * ocx + ocy * ocy + ocz * ocz) - rad * rad
+        disc = b * b - 4.0 * a * c
+        pos = disc > 0.0
+        sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+        t1 = (-b - sq) / (2.0 * a)
+        t2 = (-b + sq) / (2.0 * a)
+        return pos, t1, t2
 
     def closest_full(ox, oy, oz, dx, dy, dz):
         """Closest hit returning full shading attrs. Only (t_best, prim_f)
-        are carried through the triangle loop; the 9 attribute planes come
-        from one post-loop one-hot [NATTR, T] @ [T, TILE] MXU matmul —
+        are carried through the primitive loop; the attribute planes come
+        from one post-loop one-hot [NATTR, P] @ [P, TILE] MXU matmul —
         exact for 0/1 one-hot operands under HIGHEST (same trick as
         pallas_path.closest)."""
         t_best = jnp.full((RAY_SUB, LANES), BIG, _F32)
@@ -245,15 +287,41 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                       & (tt < t_best))
             t_best = jnp.where(closer, tt, t_best)
             prim_f = jnp.where(closer, _F32(t_idx), prim_f)
+        # Analytic spheres after triangles (ties keep the triangle, like the
+        # oracle's first-min argmin over [tris..., spheres...]).
+        for s_idx, sph in enumerate(sphs):
+            spos, t1, t2 = sphere_roots(sph, ox, oy, oz, dx, dy, dz)
+            t1_ok = (t1 > RAY_TMIN) & (t1 < RAY_TMAX)
+            t2_ok = (t2 > RAY_TMIN) & (t2 < RAY_TMAX)
+            tt = jnp.where(t1_ok, t1, t2)
+            closer = spos & (t1_ok | t2_ok) & (tt < t_best)
+            t_best = jnp.where(closer, tt, t_best)
+            prim_f = jnp.where(closer, _F32(num_tris + s_idx), prim_f)
         hit = t_best < BIG * 0.5
-        pc = jnp.clip(prim_f, 0.0, _F32(num_tris - 1)).astype(_I32)
+        pc = jnp.clip(prim_f, 0.0, _F32(n_prims - 1)).astype(_I32)
         onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
         at = jax.lax.dot_general(
             atab_ref[...], onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=_F32,
             precision=jax.lax.Precision.HIGHEST)  # [NATTR, TILE]
         at = at.reshape(NATTR, RAY_SUB, LANES)
-        return (hit, t_best, at[0], at[1], at[2], at[3], at[4], at[5],
+        nhx, nhy, nhz = at[0], at[1], at[2]
+        if num_spheres:
+            # Sphere normal: (hit point - center) normalized
+            # (shaders_old.metal:122-123); select over the triangle normal
+            # (zeros in the table's sphere columns).
+            sphere_won = hit & (prim_f >= _F32(num_tris))
+            wcx, wcy, wcz = at[9], at[10], at[11]
+            t_s = jnp.where(sphere_won, t_best, 0.0)
+            nvx = ox + dx * t_s - wcx
+            nvy = oy + dy * t_s - wcy
+            nvz = oz + dz * t_s - wcz
+            inv = jax.lax.rsqrt(jnp.maximum(
+                nvx * nvx + nvy * nvy + nvz * nvz, 1e-6))
+            nhx = jnp.where(sphere_won, nvx * inv, nhx)
+            nhy = jnp.where(sphere_won, nvy * inv, nhy)
+            nhz = jnp.where(sphere_won, nvz * inv, nhz)
+        return (hit, t_best, prim_f, nhx, nhy, nhz, at[3], at[4], at[5],
                 at[6], at[7], at[8])
 
     def light_reachable(ox, oy, oz, dx, dy, dz, t_max):
@@ -274,6 +342,11 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
             occ = occ | (ok & (tt > RAY_TMIN) & (tt < t_max)
                          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+        for sph in sphs:
+            spos, t1, t2 = sphere_roots(sph, ox, oy, oz, dx, dy, dz)
+            t1_ok = (t1 > RAY_TMIN) & (t1 < t_max)
+            t2_ok = (t2 > RAY_TMIN) & (t2 < t_max)
+            occ = occ | (spos & (t1_ok | t2_ok))
         return ~occ
 
     def square_light_pdf(p_x, p_y, p_z, dx, dy, dz):
@@ -306,8 +379,9 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         # ULPs as the oracle (direct_square_light_sample divides).
         ldx, ldy, ldz = tox / dist, toy / dist, toz / dist
         pdf_l = square_light_pdf(p_x, p_y, p_z, ldx, ldy, ldz)
-        hit_light = active & light_reachable(
-            ox, oy, oz, ldx, ldy, ldz, dist * (1.0 - 1e-4))
+        reach = light_reachable(ox, oy, oz, ldx, ldy, ldz,
+                                dist * (1.0 - 1e-4))
+        hit_light = active & reach
         vx, vy, vz = -inx, -iny, -inz
         br, bg, bb = _brdf(vx, vy, vz, nx, ny, nz, dfr, dfg, dfb, met, rgh,
                            ldx, ldy, ldz)
@@ -323,16 +397,18 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         zero = cr * 0.0
         return (jnp.where(hit_light, cr, zero),
                 jnp.where(hit_light, cg, zero),
-                jnp.where(hit_light, cb, zero))
+                jnp.where(hit_light, cb, zero), reach)
 
     def bounce_strategy(p_x, p_y, p_z, nx, ny, nz, inx, iny, inz,
                         dfr, dfg, dfb, met, rgh, active,
                         sdx, sdy, sdz, pdf_self, w, su0, su1):
-        """Shared cosine/VNDF body (shaders.metal:562-623)."""
+        """Shared cosine/VNDF body (shaders.metal:562-623). Returns the rgb
+        contribution plus the discrete decisions (winning prim, secondary
+        light reach) for the record stream."""
         ox = p_x + nx * 1e-4
         oy = p_y + ny * 1e-4
         oz = p_z + nz * 1e-4
-        (hit, t2, n2x, n2y, n2z, d2r, d2g, d2b, m2, r2,
+        (hit, t2, prim2, n2x, n2y, n2z, d2r, d2g, d2b, m2, r2,
          isem2) = closest_full(ox, oy, oz, sdx, sdy, sdz)
         vx, vy, vz = -inx, -iny, -inz
         br, bg, bb = _brdf(vx, vy, vz, nx, ny, nz, dfr, dfg, dfb, met, rgh,
@@ -349,7 +425,7 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         bpx = ox + sdx * t_safe
         bpy = oy + sdy * t_safe
         bpz = oz + sdz * t_safe
-        sr, sg, sb = direct_light(
+        sr, sg, sb, sec_reach = direct_light(
             bpx, bpy, bpz, n2x, n2y, n2z, sdx, sdy, sdz,
             d2r, d2g, d2b, m2, r2, su0, su1, hit_geo, False)
         gr = br * inv_pdf * sr
@@ -358,7 +434,8 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         zero = ltr * 0.0
         return (jnp.where(hit_light, ltr, zero) + jnp.where(hit_geo, gr, zero),
                 jnp.where(hit_light, ltg, zero) + jnp.where(hit_geo, gg, zero),
-                jnp.where(hit_light, ltb, zero) + jnp.where(hit_geo, gb, zero))
+                jnp.where(hit_light, ltb, zero) + jnp.where(hit_geo, gb, zero),
+                prim2, sec_reach)
 
     def one_camera_ray(i_i32, carry):
         acc_r, acc_g, acc_b = carry
@@ -382,9 +459,14 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         oy = px * 0.0 + pos[1]
         oz = px * 0.0 + pos[2]
 
-        (hit, t_hit, nhx, nhy, nhz, dfr, dfg, dfb, met, rgh,
+        (hit, t_hit, prim_cam, nhx, nhy, nhz, dfr, dfg, dfb, met, rgh,
          isem) = closest_full(ox, oy, oz, dx, dy, dz)
         hit = hit & in_image
+        if emit_records:
+            # Record blocks are per (tile, camera ray) grid step — the
+            # whole cam block / per-sample slices belong to this ray.
+            rec_refs[0][...] = (
+                jnp.where(hit, prim_cam + 1.0, 0.0)).astype(_I32)
         cam_hit_light = hit & (isem > 0.5)
         acc_r = acc_r + jnp.where(cam_hit_light, ler, 0.0)
         acc_g = acc_g + jnp.where(cam_hit_light, leg, 0.0)
@@ -402,7 +484,7 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             tab = [tab_ref[k, s_i32] for k in range(NTAB)]
 
             # Strategy 1: light sampling.
-            s1r, s1g, s1b = direct_light(
+            s1r, s1g, s1b, reach1 = direct_light(
                 p_x, p_y, p_z, nhx, nhy, nhz, dx, dy, dz,
                 dfr, dfg, dfb, met, rgh, tab[TAB_LU0], tab[TAB_LU1],
                 surf, True)
@@ -423,7 +505,7 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             pdf_l = square_light_pdf(p_x, p_y, p_z, cdx, cdy, cdz)
             pdf_v = _vndf_pdf(vx, vy, vz, nhx, nhy, nhz, cdx, cdy, cdz, rgh)
             w_c = _power_heuristic_3(pdf_c, pdf_l, pdf_v, _F32(s_per))
-            s2r, s2g, s2b = bounce_strategy(
+            s2r, s2g, s2b, prim_c, reach2 = bounce_strategy(
                 p_x, p_y, p_z, nhx, nhy, nhz, dx, dy, dz,
                 dfr, dfg, dfb, met, rgh, surf,
                 cdx, cdy, cdz, pdf_c, w_c, tab[TAB_CSU0], tab[TAB_CSU1])
@@ -463,10 +545,21 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             pdf_l2 = square_light_pdf(p_x, p_y, p_z, vdx, vdy, vdz)
             pdf_c2 = _cosine_pdf(nhx, nhy, nhz, vdx, vdy, vdz)
             w_v = _power_heuristic_3(pdf_v2, pdf_l2, pdf_c2, _F32(s_per))
-            s3r, s3g, s3b = bounce_strategy(
+            s3r, s3g, s3b, prim_v, reach3 = bounce_strategy(
                 p_x, p_y, p_z, nhx, nhy, nhz, dx, dy, dz,
                 dfr, dfg, dfb, met, rgh, surf,
                 vdx, vdy, vdz, pdf_v2, w_v, tab[TAB_VSU0], tab[TAB_VSU1])
+
+            if emit_records:
+                # All terms < 2^24: exact in f32 before the int cast.
+                packed = (
+                    jnp.where(reach1, 1.0, 0.0)
+                    + jnp.where(reach2, 2.0, 0.0)
+                    + jnp.where(reach3, 4.0, 0.0)
+                    + 8.0 * (prim_c + 1.0)
+                    + 8192.0 * (prim_v + 1.0))
+                ss = pl.ds(s_i32 * RAY_SUB, RAY_SUB)
+                rec_refs[1][ss, :] = packed.astype(_I32)
 
             m1, m2, m3 = (_F32(1.0) if on else _F32(0.0)
                           for on in DEBUG_STRATEGY_MASK)
@@ -484,11 +577,29 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         return acc_r, acc_g, acc_b
 
     zero = px * 0.0
-    acc_r, acc_g, acc_b = jax.lax.fori_loop(
-        0, config.camera_rays, one_camera_ray, (zero, zero, zero))
-    out_r_ref[...] = acc_r
-    out_g_ref[...] = acc_g
-    out_b_ref[...] = acc_b
+    if emit_records:
+        # 2-D grid (tile, camera ray): each step handles ONE camera ray so
+        # its record block stays a VMEM-sized [RAY_SUB * s_per, LANES]
+        # slice; the hdr block is revisited across the inner grid dim and
+        # accumulates (sequential TPU grid).
+        cr_i = pl.program_id(1)
+        acc_r, acc_g, acc_b = one_camera_ray(cr_i, (zero, zero, zero))
+
+        @pl.when(cr_i == 0)
+        def _():
+            out_r_ref[...] = jnp.zeros_like(out_r_ref)
+            out_g_ref[...] = jnp.zeros_like(out_g_ref)
+            out_b_ref[...] = jnp.zeros_like(out_b_ref)
+
+        out_r_ref[...] += acc_r
+        out_g_ref[...] += acc_g
+        out_b_ref[...] += acc_b
+    else:
+        acc_r, acc_g, acc_b = jax.lax.fori_loop(
+            0, config.camera_rays, one_camera_ray, (zero, zero, zero))
+        out_r_ref[...] = acc_r
+        out_g_ref[...] = acc_g
+        out_b_ref[...] = acc_b
 
 
 def _pack_inputs(scene: Scene, config: RenderConfig):
@@ -527,72 +638,125 @@ def _pack_inputs(scene: Scene, config: RenderConfig):
         lnorm.reshape(-1), lt.reshape(-1), lb.reshape(-1),
     ]).reshape(1, 17)
 
-    # Per-sample Halton tables (pixel-independent; render._mis_sample_tables).
-    s = config.mis_samples // 3
-    i = jnp.arange(s, dtype=jnp.uint32)
-    tabs = jnp.stack([
-        smp.halton(i, 0), smp.halton(i, 1),                          # light
-        smp.halton(i + _U32(s), 2), smp.halton(i + _U32(s), 3),      # cosine
-        smp.halton(i, 6), smp.halton(i, 7),                          # cos sec
-        smp.halton(i + _U32(2 * s), 4), smp.halton(i + _U32(2 * s), 5),
-        smp.halton(i + _U32(s), 6), smp.halton(i + _U32(s), 7),      # vndf sec
-    ])  # [NTAB, S]
+    # Per-sample random tables (pixel-independent; shared with the oracle
+    # and the backward kernel via sampling.mis_sample_table_rows).
+    tabs = smp.mis_sample_table_rows(config.mis_samples,
+                                     config.sampler)  # [NTAB, S]
 
-    # One-hot fetch table [NATTR, T] (row order matches _mis_kernel's
-    # closest_full unpack).
-    atab = jnp.stack([
-        tri[ROW_NX], tri[ROW_NY], tri[ROW_NZ],
-        tri[ROW_DR], tri[ROW_DG], tri[ROW_DB],
-        tri[ROW_MET], tri[ROW_RGH], tri[ROW_ISEM],
-    ])  # [NATTR, T]
-    return tri, cam_vec, light_vec, tabs, atab
+    # One-hot fetch table [NATTR, T + S] (row order matches _mis_kernel's
+    # closest_full unpack): triangles first, then spheres.
+    n_t = scene.triangles.num_triangles
+    zt = jnp.zeros((3, n_t), _F32)
+    tri_cols = jnp.concatenate([
+        tri[ROW_NX:ROW_NZ + 1],                      # normal
+        tri[ROW_DR:ROW_DB + 1],                      # diffuse
+        tri[ROW_MET:ROW_MET + 1], tri[ROW_RGH:ROW_RGH + 1],
+        tri[ROW_ISEM:ROW_ISEM + 1],
+        zt,                                          # sphere center (n/a)
+    ], axis=0)  # [NATTR, T]
+    sp = scene.spheres
+    if sp.num_spheres:
+        sph = jnp.stack([sp.center[:, 0], sp.center[:, 1], sp.center[:, 2],
+                         sp.radius])  # [SROWS, S]
+        zs = jnp.zeros((3, sp.num_spheres), _F32)
+        sph_is_em = (jnp.linalg.norm(sp.emissive, axis=-1)
+                     > 0.0).astype(_F32)
+        sph_cols = jnp.concatenate([
+            zs,                                      # normal (computed)
+            sp.diffuse.T,                            # diffuse
+            sp.metallic.reshape(1, -1), sp.roughness.reshape(1, -1),
+            sph_is_em.reshape(1, -1),
+            sp.center.T,                             # center
+        ], axis=0)  # [NATTR, S]
+        atab = jnp.concatenate([tri_cols, sph_cols], axis=1)
+    else:
+        sph = jnp.zeros((SROWS, 1), _F32)  # placeholder; loops are empty
+        atab = tri_cols
+    return tri, cam_vec, light_vec, tabs, sph, atab
 
 
-def _render_mis_impl(scene: Scene, config: RenderConfig, interpret=None):
-    if scene.spheres.num_spheres:
-        raise NotImplementedError(
-            "render_mis_pallas does not trace spheres yet — use the jnp "
-            "oracle (render_mis) for sphere scenes")
+def _render_mis_impl(scene: Scene, config: RenderConfig, interpret=None,
+                     emit_records: bool = False):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_pixels = config.num_pixels
     n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
     grid = (n_padded // TILE,)
     num_tris = scene.triangles.num_triangles
+    num_spheres = scene.spheres.num_spheres
+    assert num_tris + num_spheres + 1 < 1024, "record encoding limit"
 
-    tri, cam_vec, light_vec, tabs, atab = _pack_inputs(scene, config)
+    tri, cam_vec, light_vec, tabs, sph, atab = _pack_inputs(scene, config)
     # Kernel reads no per-pixel input; pass a dummy so in/out specs line up
     # with pallas_path's layout conventions.
     dummy = jnp.zeros((n_padded // LANES, LANES), _F32)
 
-    kernel = partial(_mis_kernel, config, n_pixels, num_tris)
+    kernel = partial(_mis_kernel, config, n_pixels, num_tris, num_spheres,
+                     emit_records)
     plane = jax.ShapeDtypeStruct((n_padded // LANES, LANES), _F32)
-    out_spec = pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
     s_per = config.mis_samples // 3
-    r, g, b = pl.pallas_call(
+    cr_n = config.camera_rays
+    # Record-emitting runs use a (tile, camera ray) grid so each step's
+    # record output block is one camera ray's [RAY_SUB * s_per] slice (the
+    # whole-tile stream is s_per * camera_rays * 16 KB — VMEM-breaking at
+    # reference settings); the hdr blocks are revisited/accumulated across
+    # the inner dim.
+    if emit_records:
+        grid = (n_padded // TILE, cr_n)
+        tile_ix = lambda i, j: (i, 0)
+        const_ix = lambda i, j: (0, 0)
+        rec_ix = lambda i, j: (i * cr_n + j, 0)
+    else:
+        tile_ix = lambda i: (i, 0)
+        const_ix = lambda i: (0, 0)
+    out_spec = pl.BlockSpec((RAY_SUB, LANES), tile_ix,
+                            memory_space=pltpu.VMEM)
+    out_shapes = [plane, plane, plane]
+    out_spec_list = [out_spec, out_spec, out_spec]
+    if emit_records:
+        out_shapes += [
+            jax.ShapeDtypeStruct(((n_padded // LANES) * cr_n, LANES),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct(((n_padded // LANES) * cr_n * s_per, LANES),
+                                 jnp.int32),
+        ]
+        out_spec_list += [
+            pl.BlockSpec((RAY_SUB, LANES), rec_ix,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_SUB * s_per, LANES), rec_ix,
+                         memory_space=pltpu.VMEM),
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
+            pl.BlockSpec((RAY_SUB, LANES), tile_ix,
                          memory_space=pltpu.VMEM),            # dummy
-            pl.BlockSpec((1, 12), lambda i: (0, 0),
+            pl.BlockSpec((1, 12), const_ix,
                          memory_space=pltpu.SMEM),            # camera
-            pl.BlockSpec((1, 17), lambda i: (0, 0),
+            pl.BlockSpec((1, 17), const_ix,
                          memory_space=pltpu.SMEM),            # light
-            pl.BlockSpec((NROWS, num_tris), lambda i: (0, 0),
+            pl.BlockSpec((NROWS, num_tris), const_ix,
                          memory_space=pltpu.SMEM),            # triangles
-            pl.BlockSpec((NTAB, s_per), lambda i: (0, 0),
+            pl.BlockSpec((SROWS, max(num_spheres, 1)), const_ix,
+                         memory_space=pltpu.SMEM),            # spheres
+            pl.BlockSpec((NTAB, s_per), const_ix,
                          memory_space=pltpu.SMEM),            # sample tables
-            pl.BlockSpec((NATTR, num_tris), lambda i: (0, 0),
+            pl.BlockSpec((NATTR, num_tris + num_spheres), const_ix,
                          memory_space=pltpu.VMEM),            # one-hot table
         ],
-        out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(plane, plane, plane),
+        out_specs=tuple(out_spec_list),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(dummy, cam_vec, light_vec, tri, tabs, atab)
+    )(dummy, cam_vec, light_vec, tri, sph, tabs, atab)
+    r, g, b = outs[:3]
     hdr = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
-    return hdr[:n_pixels].reshape(config.height, config.width, 3)
+    hdr = hdr[:n_pixels].reshape(config.height, config.width, 3)
+    if emit_records:
+        # Raw tile-major planes, exactly as written — consumed relayout-free
+        # by the backward kernel (ops/pallas_mis_bwd.py).
+        return hdr, tuple(outs[3:])
+    return hdr
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))

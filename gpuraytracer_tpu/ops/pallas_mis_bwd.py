@@ -1,0 +1,558 @@
+"""Pallas backward for the variant-A MIS megakernel.
+
+Round-1 status: the MIS kernel's forward ran at 8108 Mrays/s but its
+custom-VJP backward replayed the *jnp oracle* (2.2 s at 30 samples) — a
+~50x fwd/bwd mismatch on BASELINE's fwd+bwd metric. This module closes it
+with the decoupled recipe from the variant-B path (ops/pallas_shade.py):
+
+  1. The trace kernel (ops/pallas_mis.py, ``emit_records=True``) writes the
+     integrator's discrete decisions per (camera ray, sample, pixel): the
+     camera/cosine/VNDF closest-hit winners and the three light-probe
+     visibility bits. Those are exactly what AD treats as piecewise constant.
+  2. This backward kernel recomputes each sample's *continuous* math from
+     the records entirely in VMEM — no ray-scene traversals, which is where
+     the forward's FLOPs go — and reverse-sweeps it.
+
+Unlike pallas_shade.py, the reverse sweep is NOT hand-derived: the
+per-sample replay is a pure-jnp function on [RAY_SUB, 128] tiles mirroring
+the forward kernel expression-for-expression, and the kernel calls
+``jax.vjp`` on it *inside the kernel body*. The reverse of elementwise math
+is elementwise math and the reverse of the one-hot attribute fetch is the
+transposed one-hot matmul, so the whole cotangent computation lowers to
+Mosaic like any other kernel code — exact AD gradients at kernel speed,
+with the discrete structure (one-hots, masks) held outside the vjp.
+
+Cotangent outputs per tile, accumulated across the (camera ray, sample)
+loops and reduced once at the end:
+  * per-triangle table [P, NDIF]: normal xyz, plane c0, diffuse rgb,
+    metallic, roughness (+ a discarded is_emissive row), via one
+    [P, TILE] @ [TILE, NDIF] one-hot MXU matmul per fetch site;
+  * camera (12) and light (17) scalars as running partial-sum planes.
+
+Scope: triangle scenes (sphere MIS scenes fall back to the oracle VJP in
+``render_mis_decoupled``). Reference being differentiated:
+Sources/gpuRaytracer/shaders.metal:543-707.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import sampling as smp
+from ..intersect import compile_scene
+from ..types import RenderConfig, Scene
+from .pallas_mis import (
+    DEBUG_STRATEGY_MASK, LANES, NTAB, RAY_SUB, TILE,
+    TAB_CSU0, TAB_CSU1, TAB_CU0, TAB_CU1, TAB_LU0, TAB_LU1,
+    TAB_VSU0, TAB_VSU1, TAB_VU0, TAB_VU1,
+    _brdf, _cosine_pdf, _cross3, _dot3, _hash_u32, _normalize3,
+    _ortho_basis, _power_heuristic_3, _render_mis_impl, _u32_to_f32,
+    _vndf_pdf,
+)
+
+_F32 = jnp.float32
+_U32 = jnp.uint32
+_I32 = jnp.int32
+PI = math.pi
+
+# Differentiable per-triangle table rows: n(3), c0, diffuse(3), metallic,
+# roughness, is_emissive (the last is only compared against 0.5, so its
+# cotangent is structurally zero and gets dropped host-side).
+NDIF = 10
+NCAM = 12
+NLIGHT = 17
+NSCAL = NCAM + NLIGHT
+
+
+def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
+                    g_r_ref, g_g_ref, g_b_ref, crec_ref, srec_ref,
+                    tab_ref, cam_ref, light_ref, stab_ref,
+                    dtab_ref, dscal_ref):
+    """One (ray tile, camera ray) grid step: replay every sample from the
+    records and accumulate parameter cotangents via in-kernel jax.vjp.
+
+    The vjp is split per strategy (three vjp calls per sample) so the
+    residual stack Mosaic must keep live during each reverse sweep is one
+    strategy's intermediates, not the whole sample's — the single-vjp
+    version overflowed the 16 MB VMEM scoped allocation."""
+    W = config.width
+    H = config.height
+    P = num_tris
+    s_per = config.mis_samples // 3
+
+    pid = pl.program_id(0)
+    cr_i = pl.program_id(1)  # camera-ray index
+    sub = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 0)
+    lanei = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 1)
+    rid = pid * TILE + sub * LANES + lanei
+    pxi = rid % W
+    pyi = rid // W
+    px = pxi.astype(_F32)
+    py = pyi.astype(_F32)
+    in_image = rid < n_pixels
+
+    g3 = (g_r_ref[...], g_g_ref[...], g_b_ref[...])
+    zero = px * 0.0
+
+    cam12 = [cam_ref[0, k] for k in range(NCAM)]
+    light17 = [light_ref[0, k] for k in range(NLIGHT)]
+    # Broadcast the scalar parameters to planes BEFORE the vjp so their
+    # cotangents come back as planes (partial sums deferred to one final
+    # reduction per tile instead of 29 scalar reductions per sample).
+    camp0 = tuple(zero + c for c in cam12)
+    lightp0 = tuple(zero + c for c in light17)
+
+    tabv = tab_ref[...]  # [NDIF, P]
+    p_iota = jax.lax.broadcasted_iota(_I32, (P, TILE), 0)
+
+    def fetch(code):
+        """code (prim + 1, 0 = miss) -> (hit, onehot [P, TILE],
+        at [NDIF, RAY_SUB, LANES]). Exact one-hot MXU fetch."""
+        prim = code - 1
+        pc = jnp.clip(prim, 0, P - 1)
+        onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
+        at = jax.lax.dot_general(
+            tabv, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=_F32,
+            precision=jax.lax.Precision.HIGHEST)
+        return prim >= 0, onehot, at.reshape(NDIF, RAY_SUB, LANES)
+
+    m1, m2, m3 = (_F32(1.0) if on else _F32(0.0)
+                  for on in DEBUG_STRATEGY_MASK)
+    inv_s = _F32(1.0 / s_per)
+
+    # hashRandom jitter (non-differentiable; mirrors the trace kernel).
+    xi = pxi.astype(_U32)
+    yi = pyi.astype(_U32)
+    iu = jnp.full((), 0, _U32) + cr_i.astype(_U32)
+    sample_id = (yi * _U32(800) + xi) * iu
+    jx = _u32_to_f32(_hash_u32(xi + yi * _U32(800) + sample_id))
+    jy = _u32_to_f32(_hash_u32(yi + xi * _U32(600) + sample_id
+                               + _U32(12345)))
+
+    crec = crec_ref[...]
+    cam_hit, onehot_cam, at_cam = fetch(crec)
+    cam_hit = cam_hit & in_image
+    isem_cam = at_cam[9] > 0.5
+    cam_hit_light = cam_hit & isem_cam
+    surf = cam_hit & ~isem_cam
+
+    # ---- Differentiable replay pieces (mirror _mis_kernel's math with the
+    # discrete decisions closed over; all take their diff inputs as args).
+
+    def cam_stage(at_cam_, camp_):
+        """Camera ray + camera-hit surface from the recorded winner's plane
+        equation (same expression as the closest-hit loop => bit-equal t)."""
+        pos, uhw, vhh, wv = (camp_[0:3], camp_[3:6], camp_[6:9], camp_[9:12])
+        s = ((px + jx) / _F32(W)) * 2.0 - 1.0
+        t = -(((py + jy) / _F32(H)) * 2.0 - 1.0)
+        dx = s * uhw[0] + t * vhh[0] - wv[0]
+        dy = s * uhw[1] + t * vhh[1] - wv[1]
+        dz = s * uhw[2] + t * vhh[2] - wv[2]
+        dx, dy, dz = _normalize3(dx, dy, dz)
+        ox, oy, oz = pos[0], pos[1], pos[2]
+        nhx, nhy, nhz = at_cam_[0], at_cam_[1], at_cam_[2]
+        c0 = at_cam_[3]
+        den = dx * nhx + dy * nhy + dz * nhz
+        ok = jnp.abs(den) >= 1e-12
+        tt = (c0 - (ox * nhx + oy * nhy + oz * nhz)) \
+            / jnp.where(ok, den, 1.0)
+        t_safe = jnp.where(surf, tt, 0.0)
+        return (dx, dy, dz,
+                ox + dx * t_safe, oy + dy * t_safe, oz + dz * t_safe,
+                nhx, nhy, nhz,
+                at_cam_[4], at_cam_[5], at_cam_[6],   # diffuse
+                at_cam_[7], at_cam_[8])               # metallic, roughness
+
+    def square_light_pdf(lightp_, q_x, q_y, q_z, sdx, sdy, sdz):
+        lcx, lcy, lcz = lightp_[0:3]
+        lnx, lny, lnz = lightp_[8:11]
+        tox = lcx - q_x
+        toy = lcy - q_y
+        toz = lcz - q_z
+        dist2 = tox * tox + toy * toy + toz * toz
+        cos_t = jnp.maximum(0.0, -(sdx * lnx + sdy * lny + sdz * lnz))
+        return dist2 / (lightp_[6] * lightp_[7] * cos_t + 1e-6)
+
+    def direct_light(lightp_, q_x, q_y, q_z, nx, ny, nz, inx, iny, inz,
+                     mr, mg, mb, mmet, mrgh, u0, u1, reach, active,
+                     use_heuristic):
+        lcx, lcy, lcz = lightp_[0:3]
+        ler, leg, leb = lightp_[3:6]
+        lw, ld = lightp_[6], lightp_[7]
+        ltx, lty, ltz = lightp_[11:14]
+        lbx, lby, lbz = lightp_[14:17]
+        oxx = q_x + nx * 1e-4
+        oyy = q_y + ny * 1e-4
+        ozz = q_z + nz * 1e-4
+        sx = lcx + ltx * ((u0 - 0.5) * lw) + lbx * ((u1 - 0.5) * ld)
+        sy = lcy + lty * ((u0 - 0.5) * lw) + lby * ((u1 - 0.5) * ld)
+        sz = lcz + ltz * ((u0 - 0.5) * lw) + lbz * ((u1 - 0.5) * ld)
+        tox, toy, toz = sx - oxx, sy - oyy, sz - ozz
+        dist = jnp.sqrt(jnp.maximum(
+            tox * tox + toy * toy + toz * toz, 1e-30))
+        ldx, ldy, ldz = tox / dist, toy / dist, toz / dist
+        pdf_l = square_light_pdf(lightp_, q_x, q_y, q_z, ldx, ldy, ldz)
+        hit_light = active & reach
+        vx, vy, vz = -inx, -iny, -inz
+        br, bg, bb = _brdf(vx, vy, vz, nx, ny, nz, mr, mg, mb,
+                           mmet, mrgh, ldx, ldy, ldz)
+        inv_pdf = 1.0 / pdf_l
+        cr = br * ler * inv_pdf
+        cg = bg * leg * inv_pdf
+        cb = bb * leb * inv_pdf
+        if use_heuristic:
+            pdf_c = _cosine_pdf(nx, ny, nz, ldx, ldy, ldz)
+            pdf_v = _vndf_pdf(vx, vy, vz, nx, ny, nz, ldx, ldy, ldz, mrgh)
+            w = _power_heuristic_3(pdf_l, pdf_c, pdf_v, _F32(s_per))
+            cr, cg, cb = cr * w, cg * w, cb * w
+        z = cr * 0.0
+        return (jnp.where(hit_light, cr, z),
+                jnp.where(hit_light, cg, z),
+                jnp.where(hit_light, cb, z))
+
+    def bounce_strategy(lightp_, cs, at2, hit2, sec_reach, sdx, sdy, sdz,
+                        pdf_self, w, su0, su1):
+        (dx, dy, dz, p_x, p_y, p_z, nhx, nhy, nhz,
+         dfr, dfg, dfb, met, rgh) = cs
+        ler, leg, leb = lightp_[3:6]
+        oxx = p_x + nhx * 1e-4
+        oyy = p_y + nhy * 1e-4
+        ozz = p_z + nhz * 1e-4
+        n2x, n2y, n2z = at2[0], at2[1], at2[2]
+        c02 = at2[3]
+        den2 = sdx * n2x + sdy * n2y + sdz * n2z
+        ok2 = jnp.abs(den2) >= 1e-12
+        t2 = (c02 - (oxx * n2x + oyy * n2y + ozz * n2z)) \
+            / jnp.where(ok2, den2, 1.0)
+
+        vx, vy, vz = -dx, -dy, -dz
+        br, bg, bb = _brdf(vx, vy, vz, nhx, nhy, nhz,
+                           dfr, dfg, dfb, met, rgh, sdx, sdy, sdz)
+        inv_pdf = 1.0 / pdf_self
+
+        hit_light = surf & hit2 & (at2[9] > 0.5)
+        ltr = w * br * ler * inv_pdf
+        ltg = w * bg * leg * inv_pdf
+        ltb = w * bb * leb * inv_pdf
+
+        hit_geo = surf & hit2 & (at2[9] <= 0.5)
+        t2_safe = jnp.where(hit_geo, t2, 0.0)
+        sr, sg, sb = direct_light(
+            lightp_, oxx + sdx * t2_safe, oyy + sdy * t2_safe,
+            ozz + sdz * t2_safe, n2x, n2y, n2z, sdx, sdy, sdz,
+            at2[4], at2[5], at2[6], at2[7], at2[8], su0, su1,
+            sec_reach, hit_geo, False)
+        gr = br * inv_pdf * sr
+        gg = bg * inv_pdf * sg
+        gb = bb * inv_pdf * sb
+        z = ltr * 0.0
+        return (jnp.where(hit_light, ltr, z) + jnp.where(hit_geo, gr, z),
+                jnp.where(hit_light, ltg, z) + jnp.where(hit_geo, gg, z),
+                jnp.where(hit_light, ltb, z) + jnp.where(hit_geo, gb, z))
+
+    def gated(rgb, m):
+        return tuple(jnp.where(surf, c * (m * inv_s), 0.0) for c in rgb)
+
+    def strategy1(tabsc, reach1, at_cam_, camp_, lightp_):
+        cs = cam_stage(at_cam_, camp_)
+        (dx, dy, dz, p_x, p_y, p_z, nhx, nhy, nhz,
+         dfr, dfg, dfb, met, rgh) = cs
+        rgb = direct_light(
+            lightp_, p_x, p_y, p_z, nhx, nhy, nhz, dx, dy, dz,
+            dfr, dfg, dfb, met, rgh, tabsc[TAB_LU0], tabsc[TAB_LU1],
+            reach1, surf, True)
+        return gated(rgb, m1)
+
+    def strategy2(tabsc, reach2, hit_c, at_cam_, at_c_, camp_, lightp_):
+        cs = cam_stage(at_cam_, camp_)
+        (dx, dy, dz, p_x, p_y, p_z, nhx, nhy, nhz,
+         dfr, dfg, dfb, met, rgh) = cs
+        vx, vy, vz = -dx, -dy, -dz
+        tx, ty, tz, bx, by, bz = _ortho_basis(nhx, nhy, nhz)
+        phi = _F32(2.0 * PI) * tabsc[TAB_CU0]
+        cth = jnp.sqrt(jnp.full((), 0.0, _F32) + tabsc[TAB_CU1])
+        sth = jnp.sqrt(jnp.maximum(1.0 - tabsc[TAB_CU1], 0.0))
+        cp, sp = jnp.cos(phi), jnp.sin(phi)
+        cdx, cdy, cdz = _normalize3(
+            tx * (cp * sth) + bx * (sp * sth) + nhx * cth,
+            ty * (cp * sth) + by * (sp * sth) + nhy * cth,
+            tz * (cp * sth) + bz * (sp * sth) + nhz * cth)
+        pdf_c = _cosine_pdf(nhx, nhy, nhz, cdx, cdy, cdz)
+        pdf_l = square_light_pdf(lightp_, p_x, p_y, p_z, cdx, cdy, cdz)
+        pdf_v = _vndf_pdf(vx, vy, vz, nhx, nhy, nhz, cdx, cdy, cdz, rgh)
+        w_c = _power_heuristic_3(pdf_c, pdf_l, pdf_v, _F32(s_per))
+        rgb = bounce_strategy(lightp_, cs, at_c_, hit_c, reach2,
+                              cdx, cdy, cdz, pdf_c, w_c,
+                              tabsc[TAB_CSU0], tabsc[TAB_CSU1])
+        return gated(rgb, m2)
+
+    def strategy3(tabsc, reach3, hit_v, at_cam_, at_v_, camp_, lightp_):
+        cs = cam_stage(at_cam_, camp_)
+        (dx, dy, dz, p_x, p_y, p_z, nhx, nhy, nhz,
+         dfr, dfg, dfb, met, rgh) = cs
+        vx, vy, vz = -dx, -dy, -dz
+        tx, ty, tz, bx, by, bz = _ortho_basis(nhx, nhy, nhz)
+        alpha = rgh * rgh
+        vtx = _dot3(vx, vy, vz, tx, ty, tz)
+        vtb = _dot3(vx, vy, vz, bx, by, bz)
+        vtn = _dot3(vx, vy, vz, nhx, nhy, nhz)
+        vex, vey, vez = _normalize3(alpha * vtx, alpha * vtb, vtn)
+        t1x, t1y, t1z = _normalize3(vez, vez * 0.0, -vex)
+        t2x, t2y, t2z = _cross3(vex, vey, vez, t1x, t1y, t1z)
+        vphi = _F32(2.0 * PI) * tabsc[TAB_VU0]
+        ctm = _F32(1.0 / math.sqrt(2.0))
+        vct = ctm + (1.0 - ctm) * tabsc[TAB_VU1]
+        vst = jnp.sqrt(jnp.maximum(0.0, 1.0 - vct * vct))
+        vcp, vsp = jnp.cos(vphi), jnp.sin(vphi)
+        hx_, hy_, hz_ = _normalize3(
+            t1x * (vcp * vst) + t2x * (vsp * vst) + vex * vct,
+            t1y * (vcp * vst) + t2y * (vsp * vst) + vey * vct,
+            t1z * (vcp * vst) + t2z * (vsp * vst) + vez * vct)
+        nhx_, nhy_, nhz_ = _normalize3(
+            alpha * hx_, alpha * hy_, jnp.maximum(0.0, hz_))
+        whx = tx * nhx_ + bx * nhy_ + nhx * nhz_
+        why = ty * nhx_ + by * nhy_ + nhy * nhz_
+        whz = tz * nhx_ + bz * nhy_ + nhz * nhz_
+        whx, why, whz = _normalize3(whx, why, whz)
+        ddh = _dot3(dx, dy, dz, whx, why, whz)
+        vdx = dx - 2.0 * ddh * whx
+        vdy = dy - 2.0 * ddh * why
+        vdz = dz - 2.0 * ddh * whz
+        pdf_v2 = _vndf_pdf(vx, vy, vz, nhx, nhy, nhz, vdx, vdy, vdz, rgh)
+        pdf_l2 = square_light_pdf(lightp_, p_x, p_y, p_z, vdx, vdy, vdz)
+        pdf_c2 = _cosine_pdf(nhx, nhy, nhz, vdx, vdy, vdz)
+        w_v = _power_heuristic_3(pdf_v2, pdf_l2, pdf_c2, _F32(s_per))
+        rgb = bounce_strategy(lightp_, cs, at_v_, hit_v, reach3,
+                              vdx, vdy, vdz, pdf_v2, w_v,
+                              tabsc[TAB_VSU0], tabsc[TAB_VSU1])
+        return gated(rgb, m3)
+
+    def one_sample(s_i32, carry):
+        d_at_cam, dtab_acc, dcamp, dlightp = carry
+        tabsc = [stab_ref[k, s_i32] for k in range(NTAB)]
+        srec = srec_ref[pl.ds(s_i32 * RAY_SUB, RAY_SUB), :]
+        reach1 = (srec & 1) == 1
+        reach2 = ((srec >> 1) & 1) == 1
+        reach3 = ((srec >> 2) & 1) == 1
+        code_c = (srec >> 3) & 1023
+        code_v = (srec >> 13) & 1023
+        hit_c, onehot_c, at_c = fetch(code_c)
+        hit_v, onehot_v, at_v = fetch(code_v)
+
+        _, vjp1 = jax.vjp(partial(strategy1, tabsc, reach1),
+                          at_cam, camp0, lightp0)
+        da1, dc1, dl1 = vjp1(g3)
+        _, vjp2 = jax.vjp(partial(strategy2, tabsc, reach2, hit_c),
+                          at_cam, at_c, camp0, lightp0)
+        da2, d_at_c, dc2, dl2 = vjp2(g3)
+        _, vjp3 = jax.vjp(partial(strategy3, tabsc, reach3, hit_v),
+                          at_cam, at_v, camp0, lightp0)
+        da3, d_at_v, dc3, dl3 = vjp3(g3)
+
+        d_at_cam = d_at_cam + da1 + da2 + da3
+        for onehot, d_at in ((onehot_c, d_at_c), (onehot_v, d_at_v)):
+            part = jax.lax.dot_general(
+                onehot, d_at.reshape(NDIF, TILE),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST)  # [P, NDIF]
+            dtab_acc = dtab_acc + part
+        dcamp = tuple(a + b + c + d
+                      for a, b, c, d in zip(dcamp, dc1, dc2, dc3))
+        dlightp = tuple(a + b + c + d
+                        for a, b, c, d in zip(dlightp, dl1, dl2, dl3))
+        return d_at_cam, dtab_acc, dcamp, dlightp
+
+    # Camera-ray-hits-light term: acc += where(chl, emitted_radiance); its
+    # only cotangent is d(emitted_radiance) — hand-accumulated.
+    zlight = [zero for _ in range(NLIGHT)]
+    for c in range(3):
+        zlight[3 + c] = jnp.where(cam_hit_light, g3[c], 0.0)
+
+    d_at_cam0 = jnp.zeros((NDIF, RAY_SUB, LANES), _F32)
+    dtab0 = jnp.zeros((P, NDIF), _F32)
+    zcam = tuple(zero for _ in range(NCAM))
+    d_at_cam, dtab_acc, dcamp, dlightp = jax.lax.fori_loop(
+        0, s_per, one_sample, (d_at_cam0, dtab0, zcam, tuple(zlight)))
+
+    part = jax.lax.dot_general(
+        onehot_cam, d_at_cam.reshape(NDIF, TILE),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=_F32,
+        precision=jax.lax.Precision.HIGHEST)  # [P, NDIF]
+    dtab_acc = dtab_acc + part
+
+    @pl.when((pid == 0) & (cr_i == 0))
+    def _():
+        dtab_ref[...] = jnp.zeros_like(dtab_ref)
+        dscal_ref[...] = jnp.zeros_like(dscal_ref)
+
+    dtab_ref[...] += dtab_acc
+    scal_row = jnp.concatenate(
+        [jnp.sum(p).reshape(1, 1) for p in (dcamp + dlightp)], axis=1)
+    dscal_ref[...] += scal_row
+
+
+def _bwd_pallas(config: RenderConfig, num_tris: int, g_planes, recs,
+                tab, cam_vec, light_vec, stab, interpret: bool):
+    n_pixels = config.num_pixels
+    n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
+    cr_n = config.camera_rays
+    s_per = config.mis_samples // 3
+    grid = (n_padded // TILE, cr_n)
+
+    ray_spec = pl.BlockSpec((RAY_SUB, LANES), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = partial(_mis_bwd_kernel, config, n_pixels, num_tris)
+    dtab, dscal = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            ray_spec, ray_spec, ray_spec,                    # g r/g/b
+            pl.BlockSpec((RAY_SUB, LANES),
+                         lambda i, j: (i * cr_n + j, 0),
+                         memory_space=pltpu.VMEM),           # camera records
+            pl.BlockSpec((RAY_SUB * s_per, LANES),
+                         lambda i, j: (i * cr_n + j, 0),
+                         memory_space=pltpu.VMEM),           # sample records
+            pl.BlockSpec((NDIF, num_tris), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),           # diff table
+            pl.BlockSpec((1, NCAM), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),           # camera
+            pl.BlockSpec((1, NLIGHT), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),           # light
+            pl.BlockSpec((NTAB, s_per), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),           # sample tables
+        ],
+        out_specs=(
+            pl.BlockSpec((num_tris, NDIF), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NSCAL), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((num_tris, NDIF), _F32),
+                   jax.ShapeDtypeStruct((1, NSCAL), _F32)),
+        interpret=interpret,
+    )(*g_planes, *recs, tab, cam_vec, light_vec, stab)
+    return dtab, dscal
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper: forward = the MIS trace kernel's own hdr (identity);
+# backward = the kernel above.
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _attach_grad_mis(config: RenderConfig, interpret, hdr, tab, cam_vec,
+                     light_vec, stab, recs):
+    return hdr
+
+
+def _attach_fwd(config, interpret, hdr, tab, cam_vec, light_vec, stab,
+                recs):
+    return hdr, (tab, cam_vec, light_vec, stab, recs)
+
+
+def _attach_bwd(config, interpret, resids, g):
+    import numpy as np
+    tab, cam_vec, light_vec, stab, recs = resids
+    num_tris = tab.shape[1]
+    n_pixels = config.num_pixels
+    n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
+
+    gs = g.reshape(-1, 3)
+    gs = jnp.pad(gs, ((0, n_padded - n_pixels), (0, 0)))
+    g_planes = tuple(gs[:, c].reshape(-1, LANES) for c in range(3))
+
+    dtab, dscal = _bwd_pallas(config, num_tris, g_planes, recs, tab,
+                              cam_vec, light_vec, stab, interpret)
+    d_tab = dtab.T                       # [NDIF, P]; is_em row is zero
+    d_cam = dscal[:, 0:NCAM]
+    d_light = dscal[:, NCAM:NSCAL]
+    d_stab = jnp.zeros_like(stab)        # stop-gradient'd RNG draws
+    d_recs = jax.tree.map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), recs)
+    return g, d_tab, d_cam, d_light, d_stab, d_recs
+
+
+_attach_grad_mis.defvjp(_attach_fwd, _attach_bwd)
+
+
+def _pack_diff_inputs_mis(scene: Scene, config: RenderConfig):
+    """Differentiable jnp packing of the backward kernel's parameter views —
+    cotangents chain back to the scene pytree (verts via compile_scene,
+    camera via camera_basis, light frame via build_orthonormal_basis)."""
+    compiled = compile_scene(scene.triangles, lane_pad=1)
+    tab = jnp.stack([
+        compiled.n[:, 0], compiled.n[:, 1], compiled.n[:, 2], compiled.c0,
+        compiled.diffuse[:, 0], compiled.diffuse[:, 1], compiled.diffuse[:, 2],
+        compiled.metallic, compiled.roughness,
+        compiled.is_emissive.astype(_F32),
+    ])  # [NDIF, P]
+
+    cam = scene.camera
+    res_x, res_y = config.resolution
+    aspect = float(res_x // res_y) if config.integer_aspect else res_x / res_y
+    half_width = jnp.tan(jnp.asarray(cam.horizontal_fov, _F32) / 2.0)
+    half_height = half_width / _F32(aspect)
+    u, v, w = smp.camera_basis(jnp.asarray(cam.direction, _F32),
+                               jnp.asarray(cam.up, _F32))
+    cam_vec = jnp.concatenate([
+        jnp.asarray(cam.position, _F32), u * half_width, v * half_height, w,
+    ]).reshape(1, NCAM)
+
+    light = scene.light
+    lnorm = jnp.asarray(light.normal, _F32)
+    lt, lb = smp.build_orthonormal_basis(lnorm)
+    light_vec = jnp.concatenate([
+        jnp.asarray(light.center, _F32).reshape(-1),
+        jnp.asarray(light.emitted_radiance, _F32).reshape(-1),
+        jnp.asarray(light.width, _F32).reshape(1),
+        jnp.asarray(light.depth, _F32).reshape(1),
+        lnorm.reshape(-1), lt.reshape(-1), lb.reshape(-1),
+    ]).reshape(1, NLIGHT)
+    return tab, cam_vec, light_vec
+
+
+def _sample_tables(config: RenderConfig):
+    """The kernel's pixel-independent sample tables [NTAB, s_per] — the
+    same shared rows the forward kernel and oracle use."""
+    return smp.mis_sample_table_rows(config.mis_samples, config.sampler)
+
+
+def render_mis_fused(scene: Scene, config: RenderConfig,
+                     interpret=None) -> jnp.ndarray:
+    """Variant-A differentiable MIS render at megakernel speed: the trace
+    kernel's hdr with the record-replay Pallas backward attached. Triangle
+    scenes only (``render_mis_decoupled`` dispatches sphere scenes to the
+    oracle-VJP kernel). Returns [H, W, 3] raw accumulated HDR."""
+    if scene.spheres.num_spheres:
+        raise ValueError("fused MIS path supports triangle scenes; use "
+                         "render_mis_decoupled for sphere scenes")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hdr, recs = _render_mis_impl(jax.lax.stop_gradient(scene), config,
+                                 interpret=interpret, emit_records=True)
+    tab, cam_vec, light_vec = _pack_diff_inputs_mis(scene, config)
+    stab = _sample_tables(config)
+    return _attach_grad_mis(config, interpret, hdr, tab, cam_vec, light_vec,
+                            stab, tuple(recs))
+
+
+def render_mis_decoupled(scene: Scene, config: RenderConfig) -> jnp.ndarray:
+    """Fast differentiable variant-A render. Value matches the
+    megakernel/oracle; gradients match jax.grad of the oracle.
+
+    Triangle scenes take the fused path (trace kernel forward + the
+    record-replay Pallas backward); sphere scenes fall back to the kernel
+    forward with the jnp-oracle VJP (render_mis_pallas)."""
+    if scene.spheres.num_spheres == 0:
+        return render_mis_fused(scene, config)
+    from .pallas_mis import render_mis_pallas
+    return render_mis_pallas(scene, config)

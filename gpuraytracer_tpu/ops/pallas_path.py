@@ -133,8 +133,40 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
+def _f32_divmod(x, m: int):
+    """Exact (quotient, remainder) of a small-integer-valued f32 tile by a
+    static int: floor-divide with one rounding-correction step (same trick
+    as _halton_tile — f32 ops beat emulated integer div on the VPU)."""
+    mf = _F32(m)
+    q = jnp.floor(x * _F32(1.0 / m))
+    r = x - q * mf
+    too_low = r >= mf
+    too_high = r < 0.0
+    q = jnp.where(too_low, q + 1.0, jnp.where(too_high, q - 1.0, q))
+    r = jnp.where(too_low, r - mf, jnp.where(too_high, r + mf, r))
+    return q, r
+
+
+def _sample_chunk_for(config: RenderConfig, records_only: bool) -> int:
+    """Samples per grid step for record-emitting runs: whole-spp when the
+    staged record blocks fit comfortably in VMEM, else the largest divisor
+    of spp whose block set stays <= ~3 MB (Pallas double-buffers output
+    blocks across the sample grid dim — this is what lets BASELINE config
+    5's 1024^2 x 256 spp record stream exist without a >12 MB VMEM block)."""
+    per_sample = config.bounces * RAY_SUB * LANES * 4      # records (i32)
+    if not records_only:
+        per_sample = per_sample * 5 + 2 * RAY_SUB * LANES * 4  # + uv/jitter
+    if config.spp * per_sample <= (6 << 20):
+        return config.spp
+    c = max(1, min(config.spp, (3 << 20) // per_sample))
+    while config.spp % c:
+        c -= 1
+    return c
+
+
 def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
-                 num_spheres: int, emit_records: bool,
+                 num_spheres: int, emit_records: bool, records_only: bool,
+                 s_chunk: int,
                  offsets_ref, rid_base_ref, cam_ref, light_ref, tri_ref,
                  sph_ref, atab_ref, out_r_ref, out_g_ref, out_b_ref,
                  *rec_refs):
@@ -285,12 +317,31 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             occ = occ | (pos & (t1_ok | t2_ok))
         return occ
 
+    # Record-emitting runs use a (tile, sample-chunk) grid; the global
+    # sample index is j * s_chunk + n so record slices stay within this
+    # step's block while the RNG stays a pure function of the global index.
+    j_chunk = pl.program_id(1) if emit_records else None
+
     def one_sample(n_i32, carry):
         acc_r, acc_g, acc_b = carry
-        ih = off + n_i32.astype(_U32)
+        if emit_records:
+            n_glob = j_chunk * s_chunk + n_i32
+        else:
+            n_glob = n_i32
+        ih = off + n_glob.astype(_U32)
         jx = _halton_tile(ih, 0)
         jy = _halton_tile(ih, 1)
-        if emit_records:
+        if config.sampler == "stratified":
+            # Jittered grid over spp cells (sampling.stratified2 mirror;
+            # exact f32 integer math — ih < 2^21).
+            k = int(round(math.sqrt(config.spp)))
+            ihf = ih.astype(_I32).astype(_F32)
+            _, cell = _f32_divmod(ihf, config.spp)
+            cy, cx = _f32_divmod(cell, k)
+            inv_k = _F32(1.0 / k)
+            jx = (cx + jx) * inv_k
+            jy = (cy + jy) * inv_k
+        if emit_records and not records_only:
             js = pl.ds(n_i32 * RAY_SUB, RAY_SUB)
             rec_refs[5][js, :] = jx
             rec_refs[6][js, :] = jy
@@ -357,6 +408,7 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 bs = pl.ds((n_i32 * config.bounces + bounce) * RAY_SUB,
                            RAY_SUB)
                 rec_refs[0][bs, :] = code.astype(_I32)
+            if emit_records and not records_only:
                 # The random draws, so the replay pass never recomputes
                 # Halton digits (its dominant cost on [N]-sized arrays).
                 rec_refs[1][bs, :] = u_nee0
@@ -370,7 +422,7 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             # Cosine bounce (sampling.metal:39-66).
             u0 = _halton_tile(ih, 2 + bounce * 5 + 2)
             u1 = _halton_tile(ih, 2 + bounce * 5 + 3)
-            if emit_records:
+            if emit_records and not records_only:
                 rec_refs[3][bs, :] = u0
                 rec_refs[4][bs, :] = u1
             phi = _F32(2.0 * math.pi) * u0
@@ -402,12 +454,36 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         return acc_r + a_r, acc_g + a_g, acc_b + a_b
 
     zero = px * 0.0
-    acc_r, acc_g, acc_b = jax.lax.fori_loop(
-        0, config.spp, one_sample, (zero, zero, zero))
     inv_spp = _F32(1.0 / config.spp)
-    out_r_ref[...] = acc_r * inv_spp
-    out_g_ref[...] = acc_g * inv_spp
-    out_b_ref[...] = acc_b * inv_spp
+    if emit_records:
+        # Accumulate across the sample-chunk grid dim (hdr blocks are
+        # revisited; sequential adds keep bit-parity with the 1-D loop) and
+        # scale once at the last step.
+        n_schunks = config.spp // s_chunk
+        acc_r, acc_g, acc_b = jax.lax.fori_loop(
+            0, s_chunk, one_sample, (zero, zero, zero))
+
+        @pl.when(j_chunk == 0)
+        def _():
+            out_r_ref[...] = jnp.zeros_like(out_r_ref)
+            out_g_ref[...] = jnp.zeros_like(out_g_ref)
+            out_b_ref[...] = jnp.zeros_like(out_b_ref)
+
+        out_r_ref[...] += acc_r
+        out_g_ref[...] += acc_g
+        out_b_ref[...] += acc_b
+
+        @pl.when(j_chunk == n_schunks - 1)
+        def _():
+            out_r_ref[...] *= inv_spp
+            out_g_ref[...] *= inv_spp
+            out_b_ref[...] *= inv_spp
+    else:
+        acc_r, acc_g, acc_b = jax.lax.fori_loop(
+            0, config.spp, one_sample, (zero, zero, zero))
+        out_r_ref[...] = acc_r * inv_spp
+        out_g_ref[...] = acc_g * inv_spp
+        out_b_ref[...] = acc_b * inv_spp
 
 
 def _pack_inputs(scene: Scene, config: RenderConfig):
@@ -483,11 +559,18 @@ def _pack_inputs(scene: Scene, config: RenderConfig):
 def _render_pallas_impl(scene: Scene, config: RenderConfig,
                         interpret=None, emit_records: bool = False,
                         raw_records: bool = False,
+                        records_only: bool = False,
                         local_offsets=None, rid_base=None,
                         flat_output: bool = False):
     """Single-chip entry when local_offsets/rid_base are None; under
     shard_map, pass the shard's RNG-offset slice and its global first pixel
-    id ([1, 1] i32) — outputs are then the shard's flat [local, 3] hdr."""
+    id ([1, 1] i32) — outputs are then the shard's flat [local, 3] hdr.
+
+    ``records_only`` (implies raw_records) drops the six random-draw planes
+    from the record stream — the backward kernel regenerates the Halton
+    draws in-VMEM instead (pallas_shade recompute_rng mode). This is what
+    makes BASELINE config 5 fit: at 1024^2 x 256 spp x 3 bounces the f32
+    draw planes alone are ~18 GB; the int32 records are 3.2 GB."""
     if interpret is None:
         # Mosaic only targets TPU; interpret elsewhere so the same entry
         # point runs in CPU CI.
@@ -504,49 +587,65 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
         rid_base = jnp.zeros((1, 1), _I32)
     n_local = local_offsets.shape[0]
     n_padded = ((n_local + TILE - 1) // TILE) * TILE
-    grid = (n_padded // TILE,)
     offsets = jnp.pad(local_offsets, (0, n_padded - n_local)).reshape(-1, LANES)
 
+    s_chunk = _sample_chunk_for(config, records_only) if emit_records \
+        else config.spp
+    n_schunks = config.spp // s_chunk
+    if emit_records:
+        grid = (n_padded // TILE, n_schunks)
+        tile_ix = lambda i, j: (i, 0)
+        const_ix = lambda i, j: (0, 0)
+        rec_ix = lambda i, j: (i * n_schunks + j, 0)
+    else:
+        grid = (n_padded // TILE,)
+        tile_ix = lambda i: (i, 0)
+        const_ix = lambda i: (0, 0)
+
     kernel = partial(_path_kernel, config, n_pixels, num_tris, num_spheres,
-                     emit_records)
+                     emit_records, records_only, s_chunk)
     plane = jax.ShapeDtypeStruct((n_padded // LANES, LANES), _F32)
-    out_specs = pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
+    out_specs = pl.BlockSpec((RAY_SUB, LANES), tile_ix,
                              memory_space=pltpu.VMEM)
     out_shapes = [plane, plane, plane]
     out_spec_list = [out_specs, out_specs, out_specs]
     if emit_records:
         nsb = config.spp * config.bounces
+        csb = s_chunk * config.bounces
         sb_plane = jax.ShapeDtypeStruct(
             ((n_padded // LANES) * nsb, LANES), jnp.float32)
-        sb_spec = pl.BlockSpec((RAY_SUB * nsb, LANES), lambda i: (i, 0),
+        sb_spec = pl.BlockSpec((RAY_SUB * csb, LANES), rec_ix,
                                memory_space=pltpu.VMEM)
         s_plane = jax.ShapeDtypeStruct(
             ((n_padded // LANES) * config.spp, LANES), jnp.float32)
-        s_spec = pl.BlockSpec((RAY_SUB * config.spp, LANES), lambda i: (i, 0),
+        s_spec = pl.BlockSpec((RAY_SUB * s_chunk, LANES), rec_ix,
                               memory_space=pltpu.VMEM)
         # records, nee u0/u1, cosine u0/u1 per (sample, bounce); camera
-        # jitter u0/u1 per sample.
+        # jitter u0/u1 per sample. records_only keeps just the int32 stream.
         out_shapes += [jax.ShapeDtypeStruct(
-            ((n_padded // LANES) * nsb, LANES), jnp.int32),
-            sb_plane, sb_plane, sb_plane, sb_plane, s_plane, s_plane]
-        out_spec_list += [sb_spec] * 5 + [s_spec] * 2
+            ((n_padded // LANES) * nsb, LANES), jnp.int32)]
+        out_spec_list += [sb_spec]
+        if not records_only:
+            out_shapes += [sb_plane, sb_plane, sb_plane, sb_plane,
+                           s_plane, s_plane]
+            out_spec_list += [sb_spec] * 4 + [s_spec] * 2
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
+            pl.BlockSpec((RAY_SUB, LANES), tile_ix,
                          memory_space=pltpu.VMEM),        # offsets
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, 1), const_ix,
                          memory_space=pltpu.SMEM),        # rid_base
-            pl.BlockSpec((1, 12), lambda i: (0, 0),
+            pl.BlockSpec((1, 12), const_ix,
                          memory_space=pltpu.SMEM),        # camera
-            pl.BlockSpec((1, 6), lambda i: (0, 0),
+            pl.BlockSpec((1, 6), const_ix,
                          memory_space=pltpu.SMEM),        # light
-            pl.BlockSpec((NROWS, num_tris), lambda i: (0, 0),
+            pl.BlockSpec((NROWS, num_tris), const_ix,
                          memory_space=pltpu.SMEM),        # triangles
-            pl.BlockSpec((SROWS, max(num_spheres, 1)), lambda i: (0, 0),
+            pl.BlockSpec((SROWS, max(num_spheres, 1)), const_ix,
                          memory_space=pltpu.SMEM),        # spheres
-            pl.BlockSpec((NATTR, num_tris + num_spheres), lambda i: (0, 0),
+            pl.BlockSpec((NATTR, num_tris + num_spheres), const_ix,
                          memory_space=pltpu.VMEM),        # one-hot fetch table
         ],
         out_specs=tuple(out_spec_list),
@@ -561,7 +660,7 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
         hdr = hdr[:n_local].reshape(config.height, config.width, 3)
     if not emit_records:
         return hdr
-    if raw_records:
+    if raw_records or records_only:
         # Undecoded tile-major planes, exactly as the kernel wrote them —
         # consumed relayout-free by the hand-written backward kernel
         # (ops/pallas_shade.py) with identical BlockSpecs.

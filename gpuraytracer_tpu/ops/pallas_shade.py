@@ -46,22 +46,36 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import sampling as smp
 from ..intersect import compile_scene
 from ..types import RenderConfig, Scene
-from .pallas_path import LANES, RAY_SUB, TILE, _render_pallas_impl
+from .pallas_path import (LANES, RAY_SUB, TILE, _f32_divmod, _halton_tile,
+                          _render_pallas_impl)
 
 _F32 = jnp.float32
 _I32 = jnp.int32
+_U32 = jnp.uint32
 
 NTAB = 10   # differentiable table rows: n(3), c0, diffuse(3), emissive(3)
 NSCAL = 21  # pos(3) hu(3) hv(3) wb(3) lc(3) lcol(3) ln(3)
 
 
 def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
-                      g_r_ref, g_g_ref, g_b_ref,
-                      rec_ref, nee0_ref, nee1_ref, cos0_ref, cos1_ref,
-                      jx_ref, jy_ref, rid_base_ref, table_ref, cam_ref,
-                      light_ref, dtab_ref, dscal_ref):
+                      recompute_rng: bool, s_chunk: int, *refs):
     """One ray tile: recompute every sample's path from the aux planes, then
-    reverse the bounce chain accumulating parameter cotangents."""
+    reverse the bounce chain accumulating parameter cotangents.
+
+    ``recompute_rng``: the trace pass emitted only the int32 records
+    (records_only mode — BASELINE config 5's memory fix); the jitter and
+    NEE/cosine draws are regenerated here from the RNG offsets with the
+    same f32 Halton digits as the trace kernel — bit-identical values,
+    zero extra HBM planes."""
+    if recompute_rng:
+        (g_r_ref, g_g_ref, g_b_ref, rec_ref, off_ref, rid_base_ref,
+         table_ref, cam_ref, light_ref, dtab_ref, dscal_ref) = refs
+        nee0_ref = nee1_ref = cos0_ref = cos1_ref = jx_ref = jy_ref = None
+    else:
+        (g_r_ref, g_g_ref, g_b_ref, rec_ref, nee0_ref, nee1_ref, cos0_ref,
+         cos1_ref, jx_ref, jy_ref, rid_base_ref, table_ref, cam_ref,
+         light_ref, dtab_ref, dscal_ref) = refs
+        off_ref = None
     W = config.width
     H = config.height
     B = config.bounces
@@ -102,11 +116,30 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         at = at.reshape(11, RAY_SUB, LANES)
         return onehot, [at[k] for k in range(11)]
 
+    off = off_ref[...] if recompute_rng else None
+    j_chunk = pl.program_id(1)
+
     def one_sample(n_i32, carry):
         dtab_acc, dscal = carry
         js = pl.ds(n_i32 * RAY_SUB, RAY_SUB)
-        jx = jx_ref[js, :]
-        jy = jy_ref[js, :]
+        if recompute_rng:
+            # Regenerate the trace kernel's draws (pallas_path one_sample
+            # mirror — bit-identical f32 Halton digits). Sample index is
+            # global; the aux-plane slices are within this step's block.
+            ih = off + (j_chunk * s_chunk + n_i32).astype(_U32)
+            jx = _halton_tile(ih, 0)
+            jy = _halton_tile(ih, 1)
+            if config.sampler == "stratified":
+                k = int(round(math.sqrt(config.spp)))
+                ihf = ih.astype(_I32).astype(_F32)
+                _, cell = _f32_divmod(ihf, config.spp)
+                cy_c, cx_c = _f32_divmod(cell, k)
+                inv_k = _F32(1.0 / k)
+                jx = (cx_c + jx) * inv_k
+                jy = (cy_c + jy) * inv_k
+        else:
+            jx = jx_ref[js, :]
+            jy = jy_ref[js, :]
 
         # ---------------- forward recompute (saving residuals) -----------
         s = ((px + jx) / _F32(W)) * 2.0 - 1.0
@@ -148,8 +181,12 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             hy = oy + dy * ts + ny * 1e-3
             hz = oz + dz * ts + nz * 1e-3
 
-            w0 = nee0_ref[bs, :] * 2.0 - 1.0
-            w1 = nee1_ref[bs, :] * 2.0 - 1.0
+            if recompute_rng:
+                w0 = _halton_tile(ih, 2 + b * 5 + 0) * 2.0 - 1.0
+                w1 = _halton_tile(ih, 2 + b * 5 + 1) * 2.0 - 1.0
+            else:
+                w0 = nee0_ref[bs, :] * 2.0 - 1.0
+                w1 = nee1_ref[bs, :] * 2.0 - 1.0
             tlx = (lc[0] + he * w0) - hx
             tly = lc[1] - hy
             tlz = (lc[2] + he * w1) - hz
@@ -169,8 +206,12 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             col = [jnp.where(surf, colp[c] * df[c], colp[c]) for c in range(3)]
 
             # Cosine bounce direction.
-            u0 = cos0_ref[bs, :]
-            u1 = cos1_ref[bs, :]
+            if recompute_rng:
+                u0 = _halton_tile(ih, 2 + b * 5 + 2)
+                u1 = _halton_tile(ih, 2 + b * 5 + 3)
+            else:
+                u0 = cos0_ref[bs, :]
+                u1 = cos1_ref[bs, :]
             phi = _F32(2.0 * math.pi) * u0
             cth = jnp.sqrt(u1)
             sth = jnp.sqrt(1.0 - cth * cth)
@@ -403,9 +444,9 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     dtab0 = jnp.zeros((P, NTAB), _F32)
     scal0 = tuple(zero for _ in range(NSCAL))
     dtab_acc, dscal = jax.lax.fori_loop(
-        0, config.spp, one_sample, (dtab0, scal0), unroll=False)
+        0, s_chunk, one_sample, (dtab0, scal0), unroll=False)
 
-    @pl.when(pid == 0)
+    @pl.when((pid == 0) & (j_chunk == 0))
     def _():
         dtab_ref[...] = jnp.zeros_like(dtab_ref)
         dscal_ref[...] = jnp.zeros_like(dscal_ref)
@@ -418,43 +459,54 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
 def _bwd_pallas(config: RenderConfig, n_pixels: int, num_tris: int,
                 g_planes, aux_planes, table, cam_vec, light_vec,
-                interpret: bool, rid_base, n_local: int):
+                interpret: bool, rid_base, n_local: int, offsets=None):
+    from .pallas_path import _sample_chunk_for
     n_padded = ((n_local + TILE - 1) // TILE) * TILE
-    grid = (n_padded // TILE,)
-    nsb = config.spp * config.bounces
+    recompute_rng = offsets is not None
+    s_chunk = _sample_chunk_for(config, recompute_rng)
+    n_schunks = config.spp // s_chunk
+    grid = (n_padded // TILE, n_schunks)
+    csb = s_chunk * config.bounces
 
-    ray_spec = pl.BlockSpec((RAY_SUB, LANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((RAY_SUB, LANES), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
-    sb_spec = pl.BlockSpec((RAY_SUB * nsb, LANES), lambda i: (i, 0),
+    rec_ix = lambda i, j: (i * n_schunks + j, 0)
+    sb_spec = pl.BlockSpec((RAY_SUB * csb, LANES), rec_ix,
                            memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((RAY_SUB * config.spp, LANES), lambda i: (i, 0),
+    s_spec = pl.BlockSpec((RAY_SUB * s_chunk, LANES), rec_ix,
                           memory_space=pltpu.VMEM)
 
-    kernel = partial(_shade_bwd_kernel, config, n_pixels, num_tris)
+    if recompute_rng:
+        aux_specs = [sb_spec, ray_spec]          # records + RNG offsets
+        aux_inputs = (*aux_planes, offsets)
+    else:
+        aux_specs = [sb_spec] * 5 + [s_spec] * 2  # records + uv + jitter
+        aux_inputs = aux_planes
+    kernel = partial(_shade_bwd_kernel, config, n_pixels, num_tris,
+                     recompute_rng, s_chunk)
     dtab, dscal = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[ray_spec, ray_spec, ray_spec,             # g r/g/b
-                  sb_spec, sb_spec, sb_spec, sb_spec, sb_spec,  # rec + uv
-                  s_spec, s_spec,                           # jitter
-                  pl.BlockSpec((1, 1), lambda i: (0, 0),
+                  *aux_specs,
+                  pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),    # rid_base
-                  pl.BlockSpec((11, num_tris), lambda i: (0, 0),
+                  pl.BlockSpec((11, num_tris), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),    # table
-                  pl.BlockSpec((1, 12), lambda i: (0, 0),
+                  pl.BlockSpec((1, 12), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),    # camera
-                  pl.BlockSpec((1, 9), lambda i: (0, 0),
+                  pl.BlockSpec((1, 9), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)],   # light
         out_specs=(
-            pl.BlockSpec((num_tris, NTAB), lambda i: (0, 0),
+            pl.BlockSpec((num_tris, NTAB), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NSCAL), lambda i: (0, 0),
+            pl.BlockSpec((1, NSCAL), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct((num_tris, NTAB), _F32),
                    jax.ShapeDtypeStruct((1, NSCAL), _F32)),
         interpret=interpret,
-    )(*g_planes, *aux_planes, rid_base, table, cam_vec, light_vec)
+    )(*g_planes, *aux_inputs, rid_base, table, cam_vec, light_vec)
     return dtab, dscal
 
 
@@ -465,17 +517,17 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_tris: int,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _attach_grad(config: RenderConfig, interpret, hdr, table, cam_vec,
-                 light_vec, aux_planes, rid_base):
+                 light_vec, aux_planes, rid_base, offsets):
     return hdr
 
 
 def _attach_fwd(config, interpret, hdr, table, cam_vec, light_vec,
-                aux_planes, rid_base):
-    return hdr, (table, cam_vec, light_vec, aux_planes, rid_base)
+                aux_planes, rid_base, offsets):
+    return hdr, (table, cam_vec, light_vec, aux_planes, rid_base, offsets)
 
 
 def _attach_bwd(config, interpret, resids, g):
-    table, cam_vec, light_vec, aux_planes, rid_base = resids
+    table, cam_vec, light_vec, aux_planes, rid_base, offsets = resids
     n_local = g.shape[0] * (g.shape[1] if g.ndim == 3 else 1)
     n_padded = ((n_local + TILE - 1) // TILE) * TILE
     num_tris = table.shape[1]
@@ -486,9 +538,15 @@ def _attach_bwd(config, interpret, resids, g):
     gs = jnp.pad(gs, ((0, n_padded - n_local), (0, 0)))
     g_planes = tuple(gs[:, c].reshape(-1, LANES) for c in range(3))
 
+    if offsets is not None and len(aux_planes) == 1:
+        off_planes = jnp.pad(offsets, (0, n_padded - n_local)).reshape(
+            -1, LANES)
+    else:
+        off_planes = None
     dtab, dscal = _bwd_pallas(config, config.num_pixels, num_tris, g_planes,
                               aux_planes, table, cam_vec, light_vec,
-                              interpret, rid_base, n_local)
+                              interpret, rid_base, n_local,
+                              offsets=off_planes)
     d_table = jnp.concatenate(
         [dtab.T, jnp.zeros((1, num_tris), _F32)], axis=0)  # +is_em row
     d_cam = dscal[:, 0:12]
@@ -504,7 +562,9 @@ def _attach_bwd(config, interpret, resids, g):
                    else jnp.zeros_like(x)),
         aux_planes)
     d_rid = np.zeros(rid_base.shape, jax.dtypes.float0)
-    return g, d_table, d_cam, d_light, d_aux, d_rid
+    d_off = (None if offsets is None
+             else np.zeros(offsets.shape, jax.dtypes.float0))
+    return g, d_table, d_cam, d_light, d_aux, d_rid, d_off
 
 
 _attach_grad.defvjp(_attach_fwd, _attach_bwd)
@@ -542,8 +602,18 @@ def _pack_diff_inputs(scene: Scene, config: RenderConfig):
     return table, cam_vec, light_vec
 
 
+def _auto_records_only(config: RenderConfig) -> bool:
+    """records_only when the six f32 draw planes would exceed ~2 GB —
+    BASELINE config 5 (1024^2 x 256 spp) needs ~18 GB of them; regenerating
+    the draws in the backward kernel costs a few Halton evaluations per
+    (sample, bounce) instead."""
+    nsb = config.num_pixels * config.spp * config.bounces
+    return nsb * 4 * 4 + config.num_pixels * config.spp * 2 * 4 > 2 << 30
+
+
 def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
-                                interpret=None) -> jnp.ndarray:
+                                interpret=None,
+                                records_only=None) -> jnp.ndarray:
     """Variant-B differentiable render at megakernel forward speed: the
     trace kernel's hdr with the hand-written backward attached. Triangle
     scenes only (callers fall back to the jnp replay for spheres)."""
@@ -552,16 +622,22 @@ def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
                          "use render_path_decoupled for sphere scenes")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if records_only is None:
+        records_only = _auto_records_only(config)
     hdr, aux = _render_pallas_impl(jax.lax.stop_gradient(scene), config,
                                    interpret=interpret, emit_records=True,
-                                   raw_records=True)
+                                   raw_records=True,
+                                   records_only=records_only)
     table, cam_vec, light_vec = _pack_diff_inputs(scene, config)
+    from ..render import pixel_rng_offsets
+    offsets = pixel_rng_offsets(config) if records_only else None
     return _attach_grad(config, interpret, hdr, table, cam_vec, light_vec,
-                        tuple(aux), jnp.zeros((1, 1), jnp.int32))
+                        tuple(aux), jnp.zeros((1, 1), jnp.int32), offsets)
 
 
 def render_path_fused_local(scene: Scene, config: RenderConfig,
-                            local_offsets, rid_base, interpret=None):
+                            local_offsets, rid_base, interpret=None,
+                            records_only=None):
     """Shard-local fused render for use inside ``shard_map`` (see
     parallel/fast.py): renders the pixels [rid_base, rid_base + len(offsets))
     and returns flat [local, 3] hdr with the hand-written backward attached.
@@ -571,11 +647,15 @@ def render_path_fused_local(scene: Scene, config: RenderConfig,
         raise ValueError("fused decoupled path supports triangle scenes")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if records_only is None:
+        records_only = _auto_records_only(config)
     hdr, aux = _render_pallas_impl(jax.lax.stop_gradient(scene), config,
                                    interpret=interpret, emit_records=True,
                                    raw_records=True,
+                                   records_only=records_only,
                                    local_offsets=local_offsets,
                                    rid_base=rid_base, flat_output=True)
     table, cam_vec, light_vec = _pack_diff_inputs(scene, config)
+    offsets = local_offsets if records_only else None
     return _attach_grad(config, interpret, hdr, table, cam_vec, light_vec,
-                        tuple(aux), rid_base)
+                        tuple(aux), rid_base, offsets)

@@ -25,18 +25,24 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(scene: Scene, config: RenderConfig, mesh,
-                    learning_rate: float = 1e-2, optimizer=None):
+                    learning_rate: float = 1e-2, optimizer=None,
+                    renderer=None):
     """Returns (init_fn, step_fn):
       init_fn(params) -> TrainState
       step_fn(state, target_hdr) -> (TrainState, loss)
-    step_fn is jitted inside the mesh context."""
+    step_fn is jitted inside the mesh context.
+
+    ``renderer`` defaults to the jnp-oracle sharded renderer
+    (render_path_sharded); pass ``render_path_fused_sharded``
+    (parallel/fast.py) via make_train_step_fused for kernel speed."""
     import optax
 
     opt = optimizer or optax.adam(learning_rate)
+    render_fn = renderer or render_path_sharded
 
     def loss_fn(params: SceneParams, target: jnp.ndarray) -> jnp.ndarray:
         s = apply_params(scene, params)
-        img = render_path_sharded(s, config, mesh)
+        img = render_fn(s, config, mesh)
         return jnp.mean((img - target) ** 2)
 
     def init_fn(params: SceneParams) -> TrainState:
@@ -50,3 +56,14 @@ def make_train_step(scene: Scene, config: RenderConfig, mesh,
         return TrainState(params=params, opt_state=opt_state), loss
 
     return init_fn, step_fn
+
+
+def make_train_step_fused(scene: Scene, config: RenderConfig, mesh,
+                          learning_rate: float = 1e-2, optimizer=None):
+    """Sharded training step on the FAST path: Pallas trace kernel forward +
+    hand-written Pallas backward per shard (parallel/fast.py), parameter
+    gradients all-reduced by shard_map's transpose over ``rays``. Triangle
+    scenes only (the fused kernels don't differentiate spheres)."""
+    from .fast import render_path_fused_sharded
+    return make_train_step(scene, config, mesh, learning_rate, optimizer,
+                           renderer=render_path_fused_sharded)

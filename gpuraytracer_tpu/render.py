@@ -97,9 +97,14 @@ def _path_trace_chunk(
 
     def one_sample(lum, n):
         # Per-sample jitter: Halton dims 0,1 at index offset+n
-        # (raytrace.metal:37-40).
+        # (raytrace.metal:37-40); stratified jitter grids the same draws
+        # over spp cells (BASELINE config 3 sampler).
         i_halton = offsets + n
-        uv = jnp.stack([smp.halton(i_halton, 0), smp.halton(i_halton, 1)], axis=-1)
+        if config.sampler == "stratified":
+            uv = smp.stratified2(i_halton, 0, config.spp)
+        else:
+            uv = jnp.stack([smp.halton(i_halton, 0),
+                            smp.halton(i_halton, 1)], axis=-1)
         o, d = smp.generate_camera_ray(
             cam.position, cam.direction, cam.up, config.resolution,
             cam.horizontal_fov, px, py, uv, config.integer_aspect,
@@ -185,15 +190,18 @@ def render_path(scene: Scene, config: RenderConfig) -> RenderOutput:
 def _mis_sample_tables(config: RenderConfig):
     """The reference's per-sample randoms are *pixel-independent* Halton
     points (haltonRandom(i, d), shaders.metal:557,564,584,595,617) — so they
-    are shared tables, precomputed once: [S, 2] each."""
-    s = config.mis_samples // 3
-    i = jnp.arange(s, dtype=jnp.uint32)
+    are shared tables, precomputed once: [S, 2] each. Built from the shared
+    row table (sampling.mis_sample_table_rows) so oracle and kernels agree;
+    ``config.sampler`` selects halton (reference) or stratified (BASELINE
+    config 3)."""
+    rows = smp.mis_sample_table_rows(config.mis_samples, config.sampler)
+    pair = lambda r: jnp.stack([rows[r], rows[r + 1]], axis=-1)
     return dict(
-        light_u=smp.halton2(i, 0),                     # strategy 1
-        cosine_u=smp.halton2(i + jnp.uint32(s), 2),    # strategy 2
-        cosine_sec_u=smp.halton2(i, 6),                # strategy 2 bounce NEE
-        vndf_u=smp.halton2(i + jnp.uint32(2 * s), 4),  # strategy 3
-        vndf_sec_u=smp.halton2(i + jnp.uint32(s), 6),  # strategy 3 bounce NEE
+        light_u=pair(0),       # strategy 1
+        cosine_u=pair(2),      # strategy 2
+        cosine_sec_u=pair(4),  # strategy 2 bounce NEE
+        vndf_u=pair(6),        # strategy 3
+        vndf_sec_u=pair(8),    # strategy 3 bounce NEE
     )
 
 

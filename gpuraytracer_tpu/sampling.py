@@ -131,6 +131,57 @@ def halton2(i: jnp.ndarray, d: int) -> jnp.ndarray:
     return jnp.stack([halton(i, d), halton(i, d + 1)], axis=-1)
 
 
+def stratified2(i: jnp.ndarray, d: int, n_total: int) -> jnp.ndarray:
+    """Stratified (jittered-grid) 2-D points: the unit square is split into
+    sqrt(n) x sqrt(n) cells; sample ``i`` lands in cell ``i % n`` jittered by
+    the Halton pair at dims (d, d+1). Returns [..., 2].
+
+    The reference has no stratified sampler (BASELINE config 3 mandates
+    one); this is the standard jittered grid, kept deterministic and
+    pixel-offsettable exactly like ``halton`` so sharded rendering stays a
+    pure function of the global sample index. ``n_total`` must be a perfect
+    square."""
+    k = int(round(math.sqrt(n_total)))
+    if k * k != n_total:
+        raise ValueError(f"stratified2 needs a square sample count, "
+                         f"got {n_total}")
+    i = jnp.asarray(i).astype(_U32)
+    cell = (i % _U32(n_total)).astype(jnp.int32)
+    cx = (cell % k).astype(_F32)
+    cy = (cell // k).astype(_F32)
+    inv_k = _F32(1.0 / k)
+    ux = halton(i, d)
+    uy = halton(i, d + 1)
+    return jnp.stack([(cx + ux) * inv_k, (cy + uy) * inv_k], axis=-1)
+
+
+def mis_sample_table_rows(mis_samples: int,
+                          sampler: str = "halton") -> jnp.ndarray:
+    """The MIS integrator's pixel-independent per-sample random table,
+    [10, S] rows in kernel order: light (u0, u1), cosine, cosine-secondary,
+    VNDF, VNDF-secondary. Shared by the jnp oracle
+    (render._mis_sample_tables), the forward megakernel
+    (ops/pallas_mis._pack_inputs) and the backward kernel
+    (ops/pallas_mis_bwd) so the three can never drift.
+
+    ``sampler``: "halton" replicates the reference's haltonRandom draws
+    (shaders.metal:557,564,584,595,617); "stratified" jitter-grids the same
+    index/dim layout (BASELINE config 3 — requires a square samples/strategy
+    count)."""
+    s = mis_samples // 3
+    i = jnp.arange(s, dtype=_U32)
+    pair = {"halton": halton2,
+            "stratified": lambda idx, d: stratified2(idx, d, s)}[sampler]
+    rows = [
+        pair(i, 0),                     # light
+        pair(i + _U32(s), 2),           # cosine
+        pair(i, 6),                     # cosine secondary NEE
+        pair(i + _U32(2 * s), 4),       # vndf
+        pair(i + _U32(s), 6),           # vndf secondary NEE
+    ]
+    return jnp.concatenate([r.T for r in rows], axis=0)  # [10, S]
+
+
 def radical_inverse_2(bits: jnp.ndarray) -> jnp.ndarray:
     """Base-2 Van der Corput via bit reversal (shaders.metal:101-108)."""
     b = jnp.asarray(bits).astype(_U32)
@@ -370,16 +421,21 @@ def square_light_pdf(
 def smith_g1_ggx(n_dot_v: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
     a = roughness * roughness
     a2 = a * a
-    nv2 = n_dot_v * n_dot_v
+    # nv2 floor: AD-safety guard (value-identical away from exact grazing;
+    # without it reverse mode picks up inf/0*inf on lanes where n.v == 0 —
+    # masked lanes with the light material's roughness 0 hit this).
+    nv2 = jnp.maximum(n_dot_v * n_dot_v, 1e-12)
     return 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * (1.0 - nv2) / nv2))
 
 
 def d_ggx(n_dot_h: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     """GGX NDF. NOTE: the reference passes *roughness* (not roughness^2) as
-    ``a`` at every call site (shaders.metal:273,442) — replicated."""
+    ``a`` at every call site (shaders.metal:273,442) — replicated.
+    The +1e-20 keeps 0/0 (a == 0 with n.h == 1, reachable only on masked
+    lanes) finite in primal and reverse; live lanes have f^2 >= ~1e-8."""
     a2 = a * a
     f = (n_dot_h * a2 - n_dot_h) * n_dot_h + 1.0
-    return a2 / (math.pi * f * f)
+    return a2 / (math.pi * f * f + 1e-20)
 
 
 def f_schlick(l_dot_h: jnp.ndarray, f0: jnp.ndarray) -> jnp.ndarray:
@@ -388,13 +444,27 @@ def f_schlick(l_dot_h: jnp.ndarray, f0: jnp.ndarray) -> jnp.ndarray:
 
 def v_smith_ggx_correlated(n_dot_v, n_dot_l, a):
     a2 = a * a
-    ggx_l = n_dot_v * jnp.sqrt((-n_dot_l * a2 + n_dot_l) * n_dot_l + a2)
-    ggx_v = n_dot_l * jnp.sqrt((-n_dot_v * a2 + n_dot_v) * n_dot_v + a2)
-    return 0.5 / (ggx_v + ggx_l)
+    # Guards (AD safety, value-preserving on live lanes): the sqrt args are
+    # >= a2 >= 1e-4 for any real material, and the visibility denominator is
+    # O(0.1); both reach exact 0 only on masked lanes (roughness-0 light
+    # material with n.l == 0), where unguarded reverse mode yields 0*inf.
+    ggx_l = n_dot_v * jnp.sqrt(jnp.maximum(
+        (-n_dot_l * a2 + n_dot_l) * n_dot_l + a2, 1e-12))
+    ggx_v = n_dot_l * jnp.sqrt(jnp.maximum(
+        (-n_dot_v * a2 + n_dot_v) * n_dot_v + a2, 1e-12))
+    return 0.5 / (ggx_v + ggx_l + 1e-7)
 
 
 def fd_lambert() -> float:
     return 1.0 / math.pi
+
+
+def _safe_normalize(v: jnp.ndarray) -> jnp.ndarray:
+    """normalize with a 1e-30 norm floor — value-identical to plain
+    normalize for any non-degenerate vector, but keeps 0/0 out of primal
+    and reverse mode on masked lanes (same floor as the kernels'
+    _normalize3)."""
+    return v / jnp.sqrt(jnp.maximum(dot(v, v), 1e-30))[..., None]
 
 
 def vndf_dir(view_dir: jnp.ndarray, normal: jnp.ndarray,
@@ -403,7 +473,7 @@ def vndf_dir(view_dir: jnp.ndarray, normal: jnp.ndarray,
     reflect (vndfRay, shaders.metal:382-435)."""
     alpha = (roughness * roughness)[..., None]
     tangent, bitangent = build_orthonormal_basis(normal)
-    ve = normalize(
+    ve = _safe_normalize(
         jnp.concatenate(
             [
                 alpha * dot(view_dir, tangent)[..., None],
@@ -413,7 +483,7 @@ def vndf_dir(view_dir: jnp.ndarray, normal: jnp.ndarray,
             axis=-1,
         )
     )
-    t1 = normalize(
+    t1 = _safe_normalize(
         jnp.stack([ve[..., 2], jnp.zeros_like(ve[..., 0]), -ve[..., 0]], axis=-1)
     )
     t2 = cross(ve, t1)
@@ -424,19 +494,19 @@ def vndf_dir(view_dir: jnp.ndarray, normal: jnp.ndarray,
     cos_theta_max = len_ve / jnp.sqrt(1.0 + len_ve * len_ve)
     cos_theta = cos_theta_max + (1.0 - cos_theta_max) * u[..., 1]
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
-    h = normalize(
+    h = _safe_normalize(
         t1 * (jnp.cos(phi) * sin_theta)[..., None]
         + t2 * (jnp.sin(phi) * sin_theta)[..., None]
         + ve * cos_theta[..., None]
     )
-    nh = normalize(
+    nh = _safe_normalize(
         jnp.concatenate(
             [alpha * h[..., 0:1], alpha * h[..., 1:2],
              jnp.maximum(0.0, h[..., 2:3])],
             axis=-1,
         )
     )
-    world_h = normalize(
+    world_h = _safe_normalize(
         tangent * nh[..., 0:1] + bitangent * nh[..., 1:2] + normal * nh[..., 2:3]
     )
     return reflect(-view_dir, world_h)
@@ -448,14 +518,15 @@ def reflect(incident: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
 
 def vndf_pdf(view_dir: jnp.ndarray, normal: jnp.ndarray,
              light_dir: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
-    """D * G1 * VoH / (4 * NoV) (calculateVNDFPdf, shaders.metal:437-445)."""
-    h = normalize(view_dir + light_dir)
+    """D * G1 * VoH / (4 * NoV) (calculateVNDFPdf, shaders.metal:437-445).
+    +1e-7 in the denominator: AD-safety at exact grazing (n.v == 0)."""
+    h = _safe_normalize(view_dir + light_dir)
     n_dot_h = jnp.abs(dot(normal, h))
     v_dot_h = jnp.abs(dot(view_dir, h))
     n_dot_v = jnp.abs(dot(normal, view_dir))
     d = d_ggx(n_dot_h, roughness)
     g1 = smith_g1_ggx(n_dot_v, roughness)
-    return (d * g1 * v_dot_h) / (4.0 * n_dot_v)
+    return (d * g1 * v_dot_h) / (4.0 * n_dot_v + 1e-7)
 
 
 # ---------------------------------------------------------------------------

@@ -228,13 +228,21 @@ class RenderConfig:
     bounces: int = 3  # variant B bounce count
     camera_rays: int = 6  # variant A camera rays per pixel
     mis_samples: int = 300  # variant A total MIS samples (split across 3 strategies)
-    mis_bounces: int = 2  # variant A bounce count
+    # (The variant-A bounce structure — one extra NEE at the BSDF-strategy
+    # hit — is fixed by the reference, shaders.metal:543-625; there is
+    # deliberately no knob for it.)
     # Legacy integrator (shaders_old.metal calculateLighting, :738-921):
     # total samples split /3 across strategies; nested bounce recursion uses
     # legacy_bounce_samples (the reference hardcodes 30, :837,:911).
     legacy_samples: int = 30
     legacy_bounces: int = 2
     legacy_bounce_samples: int = 30
+    # Sample-sequence choice: "halton" replicates the reference's
+    # low-discrepancy draws; "stratified" jitter-grids the path tracer's
+    # camera subpixel samples (over spp cells) and the MIS integrator's
+    # strategy tables (over samples/strategy cells) — BASELINE config 3.
+    # Square sample counts required for "stratified".
+    sampler: str = "halton"
     seed: int = 0
     # Compat flags (reference quirks, on by default so the oracle matches).
     integer_aspect: bool = True

@@ -14,6 +14,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the interpret-mode kernel-parity tests are
+# dominated by XLA CPU compiles of the lowered kernel bodies; caching makes
+# re-runs fast.
+from gpuraytracer_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

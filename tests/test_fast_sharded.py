@@ -51,6 +51,43 @@ def test_sharded_fused_grads_match_single_chip(scene, mesh):
 
 
 def test_sharded_fused_rejects_indivisible(scene, mesh):
-    cfg = _CFG.replace(width=100, height=60)
+    # 101*3 = 303 pixels cannot split evenly over the 2-device mesh
+    # (per-shard TILE padding handles everything that does split evenly).
+    cfg = _CFG.replace(width=101, height=3)
     with pytest.raises(ValueError):
         render_path_fused_sharded(scene, cfg, mesh)
+
+
+def test_overlapped_grad_matches_plain_fused():
+    """Per-microtile-psum gradients (overlapped all-reduce design,
+    parallel/fast.make_overlapped_grad_fn) == jax.grad of the plain fused
+    sharded loss (single end-of-backward psum) up to fp summation order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gpuraytracer_tpu.parallel.fast import (make_overlapped_grad_fn,
+                                                render_path_fused_sharded)
+    from gpuraytracer_tpu.parallel.mesh import make_ray_mesh
+    from gpuraytracer_tpu.scene import cornell_box
+    from gpuraytracer_tpu.types import RenderConfig
+
+    cfg = RenderConfig(width=64, height=32, integrator="path", spp=1,
+                       bounces=2)
+    scene = cornell_box(resolution=(64, 32))
+    mesh = make_ray_mesh(jax.devices()[:8])
+    target = jnp.zeros((32, 64, 3), jnp.float32)
+
+    def plain_loss(s):
+        img = render_path_fused_sharded(s, cfg, mesh)
+        return jnp.mean((img - target) ** 2)
+
+    l_plain, g_plain = jax.value_and_grad(plain_loss, allow_int=True)(scene)
+
+    grad_fn = make_overlapped_grad_fn(scene, cfg, mesh, n_microtiles=2)
+    l_over, g_over = jax.jit(grad_fn)(scene, target)
+
+    np.testing.assert_allclose(float(l_over), float(l_plain), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_over), jax.tree.leaves(g_plain)):
+        if hasattr(a, "dtype") and a.dtype == jnp.float32:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-4)

@@ -66,3 +66,45 @@ def test_decoupled_dispatch_uses_fused_for_triangle_scene(scene):
     out = np.asarray(render_path_decoupled(scene, _CFG))
     oracle = np.asarray(render(scene, _CFG).hdr)
     np.testing.assert_allclose(out, oracle, atol=2e-5, rtol=1e-4)
+
+
+def test_records_only_grads_match_plane_mode(scene):
+    """records_only (BASELINE config-5 memory mode): the backward kernel
+    regenerates the Halton draws from the RNG offsets instead of reading
+    recorded planes — values and gradients must be bit-compatible with the
+    plane mode."""
+    import numpy as np
+
+    out_a = render_path_decoupled_fused(scene, _CFG, records_only=False)
+    out_b = render_path_decoupled_fused(scene, _CFG, records_only=True)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+    g_a = jax.grad(lambda s: jnp.mean(
+        render_path_decoupled_fused(s, _CFG, records_only=False)),
+        allow_int=True)(scene)
+    g_b = jax.grad(lambda s: jnp.mean(
+        render_path_decoupled_fused(s, _CFG, records_only=True)),
+        allow_int=True)(scene)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        if hasattr(a, "dtype") and a.dtype == jnp.float32:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, rtol=1e-5)
+
+
+def test_records_only_stratified_sampler(scene):
+    """Stratified camera jitter regenerates identically in the backward."""
+    import numpy as np
+    cfg = _CFG.replace(spp=4, sampler="stratified")
+    out_a = render_path_decoupled_fused(scene, cfg, records_only=False)
+    out_b = render_path_decoupled_fused(scene, cfg, records_only=True)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    g_a = jax.grad(lambda s: jnp.mean(
+        render_path_decoupled_fused(s, cfg, records_only=False)),
+        allow_int=True)(scene)
+    g_b = jax.grad(lambda s: jnp.mean(
+        render_path_decoupled_fused(s, cfg, records_only=True)),
+        allow_int=True)(scene)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        if hasattr(a, "dtype") and a.dtype == jnp.float32:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, rtol=1e-5)
