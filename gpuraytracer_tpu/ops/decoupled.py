@@ -329,12 +329,10 @@ def render_path_decoupled(scene: Scene, config: RenderConfig) -> jnp.ndarray:
     """Fast differentiable variant-B render. Value matches the
     megakernel/oracle; gradients match jax.grad of the oracle.
 
-    Triangle-only scenes take the fused path (trace kernel forward + the
-    hand-written Pallas backward, ops/pallas_shade.py — 881 Mrays/s fwd+bwd
-    vs 413 for the jnp replay on one v5e chip); sphere scenes use the jnp
-    shade replay, whose AD handles the sphere quadratic/normal chains."""
-    if scene.spheres.num_spheres == 0:
-        from .pallas_shade import render_path_decoupled_fused
-        return render_path_decoupled_fused(scene, config)
-    _, aux = trace_records(scene, config)
-    return shade_replay(scene, aux, config)
+    Both triangle and sphere scenes take the fused path (trace kernel
+    forward + the hand-written Pallas backward, ops/pallas_shade.py — the
+    backward replays the analytic sphere quadratic in-kernel). The jnp
+    ``shade_replay`` remains as the slow parity oracle for the record
+    format (tests/test_decoupled.py)."""
+    from .pallas_shade import render_path_decoupled_fused
+    return render_path_decoupled_fused(scene, config)

@@ -29,9 +29,13 @@ replay — and therefore of the jnp oracle renderer — to fp32 rounding
 Aux planes are consumed RAW (tile-major, exactly as the trace kernel wrote
 them, pallas_path.py `bs`/`js` slices) — no relayout between the kernels.
 
-Scope: triangle scenes (the flagship bench workload). Scenes with spheres
-fall back to the jnp replay (decoupled.render_path_decoupled handles both).
-Reference for the forward being differentiated: RTrace/raytrace.metal:11-111.
+Scope: triangle AND sphere scenes. Sphere hits replay the analytic quadratic
+(reference: intersectSphere, shaders_old.metal:108-136) and its hand-derived
+reverse — hit distance t(center, radius) and the hit-point normal are smooth,
+so sphere-center/radius cotangents flow at kernel speed (BASELINE config 4's
+inverse-rendering workload); visibility stays piecewise-constant exactly like
+the oracle's AD. Reference for the forward being differentiated:
+RTrace/raytrace.metal:11-111.
 """
 from __future__ import annotations
 
@@ -53,12 +57,19 @@ _F32 = jnp.float32
 _I32 = jnp.int32
 _U32 = jnp.uint32
 
-NTAB = 10   # differentiable table rows: n(3), c0, diffuse(3), emissive(3)
+# Differentiable table rows: n(3), c0, diffuse(3), emissive(3) — plus, for
+# sphere scenes, center(3) and radius. The packed table additionally carries
+# the non-differentiable is_emissive (and is_sphere) selector rows.
+NTAB = 10
+NTAB_SPH = 14
+NROWS_TAB = 11
+NROWS_TAB_SPH = 16
 NSCAL = 21  # pos(3) hu(3) hv(3) wb(3) lc(3) lcol(3) ln(3)
 
 
-def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
-                      recompute_rng: bool, s_chunk: int, *refs):
+def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
+                      num_spheres: int, recompute_rng: bool, s_chunk: int,
+                      *refs):
     """One ray tile: recompute every sample's path from the aux planes, then
     reverse the bounce chain accumulating parameter cotangents.
 
@@ -79,7 +90,9 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     W = config.width
     H = config.height
     B = config.bounces
-    P = num_tris
+    P = num_prims
+    nrows = NROWS_TAB_SPH if num_spheres else NROWS_TAB
+    ntab = NTAB_SPH if num_spheres else NTAB
     he = _F32(config.area_light_half_extent)
 
     pid = pl.program_id(0)
@@ -107,14 +120,14 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
     def fetch(pc):
         """Attrs via one-hot matmul (exact under HIGHEST for 0/1 lhs).
-        Returns (onehot [P, TILE], 11 planes [RAY_SUB, LANES])."""
+        Returns (onehot [P, TILE], nrows planes [RAY_SUB, LANES])."""
         onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
         at = jax.lax.dot_general(
             table_ref[...], onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=_F32,
-            precision=jax.lax.Precision.HIGHEST)  # [11, TILE]
-        at = at.reshape(11, RAY_SUB, LANES)
-        return onehot, [at[k] for k in range(11)]
+            precision=jax.lax.Precision.HIGHEST)  # [nrows, TILE]
+        at = at.reshape(nrows, RAY_SUB, LANES)
+        return onehot, [at[k] for k in range(nrows)]
 
     off = off_ref[...] if recompute_rng else None
     j_chunk = pl.program_id(1)
@@ -162,24 +175,61 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             hit = prim >= 0
             pc = jnp.clip(prim, 0, P - 1)
             onehot, at = fetch(pc)
-            nx, ny, nz, c0 = at[0], at[1], at[2], at[3]
+            # Table normal (zeros in sphere columns) vs the effective shading
+            # normal nh (sphere columns override it below).
+            tnx, tny, tnz, c0 = at[0], at[1], at[2], at[3]
             df = at[4:7]
             em3 = at[7:10]
             is_em = at[10] > 0.5
 
-            den = dx * nx + dy * ny + dz * nz
+            den = dx * tnx + dy * tny + dz * tnz
             ok = jnp.abs(den) >= 1e-12
             sden = jnp.where(ok, den, 1.0)
-            num = c0 - (ox * nx + oy * ny + oz * nz)
+            num = c0 - (ox * tnx + oy * tny + oz * tnz)
             tt = num / sden
+
+            nhx, nhy, nhz = tnx, tny, tnz
+            sph = None
+            if num_spheres:
+                # Analytic sphere replay (decoupled.shade_replay mirror;
+                # same op order as intersect._sphere_candidates).
+                scx, scy, scz, srad = at[11], at[12], at[13], at[14]
+                is_sph = at[15] > 0.5
+                ocx, ocy, ocz = ox - scx, oy - scy, oz - scz
+                a_q = dx * dx + dy * dy + dz * dz
+                b_q = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+                c_q = (ocx * ocx + ocy * ocy + ocz * ocz) - srad * srad
+                disc = b_q * b_q - 4.0 * a_q * c_q
+                pos_d = disc > 0.0
+                sq = jnp.sqrt(jnp.where(pos_d, disc, 1.0))
+                t1 = (-b_q - sq) / (2.0 * a_q)
+                t2 = (-b_q + sq) / (2.0 * a_q)
+                t1_ok = (t1 > 1e-3) & (t1 < 1e3)
+                t_sph = jnp.where(t1_ok, t1, t2)
+                tt = jnp.where(is_sph, t_sph, tt)
+                sel = hit & is_sph
+                t_ns = jnp.where(sel, tt, 0.0)
+                thx = ox + dx * t_ns - scx
+                thy = oy + dy * t_ns - scy
+                thz = oz + dz * t_ns - scz
+                qn = thx * thx + thy * thy + thz * thz
+                inv_n = jax.lax.rsqrt(jnp.maximum(qn, 1e-6))
+                nhx = jnp.where(sel, thx * inv_n, nhx)
+                nhy = jnp.where(sel, thy * inv_n, nhy)
+                nhz = jnp.where(sel, thz * inv_n, nhz)
+                sph = dict(
+                    is_sph=is_sph, sel=sel, oc=(ocx, ocy, ocz), srad=srad,
+                    a_q=a_q, b_q=b_q, c_q=c_q, pos_d=pos_d, sq=sq,
+                    t1=t1, t2=t2, t1_ok=t1_ok, t_ns=t_ns,
+                    th=(thx, thy, thz), qn_ok=qn >= 1e-6, inv_n=inv_n)
 
             active = alive & hit
             hit_light = active & is_em
             surf = active & ~is_em
             ts = jnp.where(surf, tt, 0.0)
-            hx = ox + dx * ts + nx * 1e-3
-            hy = oy + dy * ts + ny * 1e-3
-            hz = oz + dz * ts + nz * 1e-3
+            hx = ox + dx * ts + nhx * 1e-3
+            hy = oy + dy * ts + nhy * 1e-3
+            hz = oz + dz * ts + nhz * 1e-3
 
             if recompute_rng:
                 w0 = _halton_tile(ih, 2 + b * 5 + 0) * 2.0 - 1.0
@@ -195,7 +245,7 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             invd = 1.0 / jnp.maximum(dist, 1e-3)
             ldx, ldy, ldz = tlx * invd, tly * invd, tlz * invd
             cl_raw = -(ldx * ln[0] + ldy * ln[1] + ldz * ln[2])
-            cs_raw = nx * ldx + ny * ldy + nz * ldz
+            cs_raw = nhx * ldx + nhy * ldy + nhz * ldz
             cos_l = jnp.clip(cl_raw, 0.0, 1.0)
             cos_s = jnp.clip(cs_raw, 0.0, 1.0)
             invd2 = invd * invd
@@ -219,14 +269,15 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             syl = cth
             szl = sth * jnp.sin(phi)
             ax, ay, az = _F32(0.0072), _F32(1.0), _F32(0.0034)
-            crx = ny * az - nz * ay
-            cry = nz * ax - nx * az
-            crz = nx * ay - ny * ax
+            crx = nhy * az - nhz * ay
+            cry = nhz * ax - nhx * az
+            crz = nhx * ay - nhy * ax
             crn = jnp.sqrt(crx * crx + cry * cry + crz * crz)
             crxn, cryn, crzn = crx / crn, cry / crn, crz / crn
 
             res.append(dict(
-                onehot=onehot, nx=nx, ny=ny, nz=nz, df=df, em3=em3,
+                onehot=onehot, tn=(tnx, tny, tnz),
+                nh=(nhx, nhy, nhz), df=df, em3=em3,
                 ok=ok, sden=sden, tt=tt, ts=ts,
                 o=(ox, oy, oz), d=(dx, dy, dz),
                 surf=surf, hit_light=hit_light, contrib=contrib,
@@ -235,14 +286,15 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 gain=gain, colp=colp, col=col,
                 sxl=sxl, syl=syl, szl=szl,
                 crn=crn, crxn=crxn, cryn=cryn, crzn=crzn,
+                sph=sph,
             ))
             if b < B - 1:
-                fwx = cryn * nz - crzn * ny
-                fwy = crzn * nx - crxn * nz
-                fwz = crxn * ny - cryn * nx
-                sdx = sxl * crxn + syl * nx + szl * fwx
-                sdy = sxl * cryn + syl * ny + szl * fwy
-                sdz = sxl * crzn + syl * nz + szl * fwz
+                fwx = cryn * nhz - crzn * nhy
+                fwy = crzn * nhx - crxn * nhz
+                fwz = crxn * nhy - cryn * nhx
+                sdx = sxl * crxn + syl * nhx + szl * fwx
+                sdy = sxl * cryn + syl * nhy + szl * fwy
+                sdz = sxl * crzn + syl * nhz + szl * fwz
                 ox = jnp.where(surf, hx, ox)
                 oy = jnp.where(surf, hy, oy)
                 oz = jnp.where(surf, hz, oz)
@@ -264,9 +316,10 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
         for b in reversed(range(B)):
             r = res[b]
-            nx, ny, nz = r["nx"], r["ny"], r["nz"]
+            nhx, nhy, nhz = r["nh"]
+            tnx, tny, tnz = r["tn"]
             surf = r["surf"]
-            d_n = [zero, zero, zero]
+            d_nh = [zero, zero, zero]  # effective-normal cotangent
 
             # (D) o/d updates + (9) cosine-direction chain (absent for the
             # last bounce: its o/d die unused).
@@ -282,36 +335,36 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 d_crxn = sxl * d_sd[0]
                 d_cryn = sxl * d_sd[1]
                 d_crzn = sxl * d_sd[2]
-                d_n[0] += syl * d_sd[0]
-                d_n[1] += syl * d_sd[1]
-                d_n[2] += syl * d_sd[2]
+                d_nh[0] += syl * d_sd[0]
+                d_nh[1] += syl * d_sd[1]
+                d_nh[2] += syl * d_sd[2]
                 d_fw = [szl * d_sd[0], szl * d_sd[1], szl * d_sd[2]]
-                # fw = cr_n x n
-                d_cryn += nz * d_fw[0]
-                d_n[2] += cryn * d_fw[0]
-                d_crzn -= ny * d_fw[0]
-                d_n[1] -= crzn * d_fw[0]
-                d_crzn += nx * d_fw[1]
-                d_n[0] += crzn * d_fw[1]
-                d_crxn -= nz * d_fw[1]
-                d_n[2] -= crxn * d_fw[1]
-                d_crxn += ny * d_fw[2]
-                d_n[1] += crxn * d_fw[2]
-                d_cryn -= nx * d_fw[2]
-                d_n[0] -= cryn * d_fw[2]
+                # fw = cr_n x nh
+                d_cryn += nhz * d_fw[0]
+                d_nh[2] += cryn * d_fw[0]
+                d_crzn -= nhy * d_fw[0]
+                d_nh[1] -= crzn * d_fw[0]
+                d_crzn += nhx * d_fw[1]
+                d_nh[0] += crzn * d_fw[1]
+                d_crxn -= nhz * d_fw[1]
+                d_nh[2] -= crxn * d_fw[1]
+                d_crxn += nhy * d_fw[2]
+                d_nh[1] += crxn * d_fw[2]
+                d_cryn -= nhx * d_fw[2]
+                d_nh[0] -= cryn * d_fw[2]
                 # normalize reverse
                 s_dot = crxn * d_crxn + cryn * d_cryn + crzn * d_crzn
                 d_crx = (d_crxn - crxn * s_dot) / crn
                 d_cry = (d_cryn - cryn * s_dot) / crn
                 d_crz = (d_crzn - crzn * s_dot) / crn
-                # cr = n x axis (axis = (0.0072, 1, 0.0034))
+                # cr = nh x axis (axis = (0.0072, 1, 0.0034))
                 ax, ay, az = _F32(0.0072), _F32(1.0), _F32(0.0034)
-                d_n[1] += az * d_crx
-                d_n[2] -= ay * d_crx
-                d_n[2] += ax * d_cry
-                d_n[0] -= az * d_cry
-                d_n[0] += ay * d_crz
-                d_n[1] -= ax * d_crz
+                d_nh[1] += az * d_crx
+                d_nh[2] -= ay * d_crx
+                d_nh[2] += ax * d_cry
+                d_nh[0] -= az * d_cry
+                d_nh[0] += ay * d_crz
+                d_nh[1] -= ax * d_crz
             else:
                 d_h = [zero, zero, zero]
 
@@ -346,13 +399,13 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             d_cl_raw = jnp.where((cl_raw >= 0.0) & (cl_raw <= 1.0),
                                  d_cos_l, 0.0)
             ldx, ldy, ldz = tlx * invd, tly * invd, tlz * invd
-            # cs_raw = n . ld ; cl_raw = -(ld . ln)
-            d_n[0] += ldx * d_cs_raw
-            d_n[1] += ldy * d_cs_raw
-            d_n[2] += ldz * d_cs_raw
-            d_ld = [nx * d_cs_raw - ln[0] * d_cl_raw,
-                    ny * d_cs_raw - ln[1] * d_cl_raw,
-                    nz * d_cs_raw - ln[2] * d_cl_raw]
+            # cs_raw = nh . ld ; cl_raw = -(ld . ln)
+            d_nh[0] += ldx * d_cs_raw
+            d_nh[1] += ldy * d_cs_raw
+            d_nh[2] += ldz * d_cs_raw
+            d_ld = [nhx * d_cs_raw - ln[0] * d_cl_raw,
+                    nhy * d_cs_raw - ln[1] * d_cl_raw,
+                    nhz * d_cs_raw - ln[2] * d_cl_raw]
             d_ln[0] -= ldx * d_cl_raw
             d_ln[1] -= ldy * d_cl_raw
             d_ln[2] -= ldz * d_cl_raw
@@ -372,7 +425,7 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             d_h[1] -= d_tl[1]
             d_h[2] -= d_tl[2]
 
-            # (5) h reverse: h = o + d*ts + n*1e-3
+            # (5) h reverse: h = o + d*ts + nh*1e-3
             ox, oy, oz = r["o"]
             dx, dy, dz = r["d"]
             ts = r["ts"]
@@ -383,45 +436,119 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             d_d[1] += ts * d_h[1]
             d_d[2] += ts * d_h[2]
             d_ts = dx * d_h[0] + dy * d_h[1] + dz * d_h[2]
-            d_n[0] += _F32(1e-3) * d_h[0]
-            d_n[1] += _F32(1e-3) * d_h[1]
-            d_n[2] += _F32(1e-3) * d_h[2]
+            d_nh[0] += _F32(1e-3) * d_h[0]
+            d_nh[1] += _F32(1e-3) * d_h[1]
+            d_nh[2] += _F32(1e-3) * d_h[2]
 
             # (A) reverse: a = where(hit_light, em, a)
             hit_light = r["hit_light"]
             d_em = [jnp.where(hit_light, d_a[c], 0.0) for c in range(3)]
             d_a = [jnp.where(hit_light, 0.0, d_a[c]) for c in range(3)]
 
-            # (2) reverse: tt = (c0 - o.n) / sden
+            # (4s) effective-normal select + sphere-normal chain:
+            # nh = where(sel, th * inv_n, tn).
+            d_tt_extra = zero
+            if num_spheres:
+                s_r = r["sph"]
+                sel = s_r["sel"]
+                thx, thy, thz = s_r["th"]
+                inv_n = s_r["inv_n"]
+                d_nh_s = [jnp.where(sel, d_nh[c], 0.0) for c in range(3)]
+                d_tn = [jnp.where(sel, 0.0, d_nh[c]) for c in range(3)]
+                d_th = [inv_n * d_nh_s[c] for c in range(3)]
+                d_inv_n = (thx * d_nh_s[0] + thy * d_nh_s[1]
+                           + thz * d_nh_s[2])
+                # inv_n = rsqrt(max(qn, 1e-6))
+                d_qn = jnp.where(s_r["qn_ok"],
+                                 -0.5 * inv_n * inv_n * inv_n * d_inv_n, 0.0)
+                d_th[0] += 2.0 * thx * d_qn
+                d_th[1] += 2.0 * thy * d_qn
+                d_th[2] += 2.0 * thz * d_qn
+                # th = o + d * t_ns - sc
+                t_ns = s_r["t_ns"]
+                d_o[0] += d_th[0]
+                d_o[1] += d_th[1]
+                d_o[2] += d_th[2]
+                d_d[0] += t_ns * d_th[0]
+                d_d[1] += t_ns * d_th[1]
+                d_d[2] += t_ns * d_th[2]
+                d_sc = [-d_th[c] for c in range(3)]
+                d_srad = zero
+                # t_ns = where(sel, tt, 0)
+                d_tt_extra = jnp.where(
+                    sel, dx * d_th[0] + dy * d_th[1] + dz * d_th[2], 0.0)
+            else:
+                d_tn = d_nh
+
+            # (2) reverse: tt select + plane / sphere-quadratic chains.
             tt, sden, ok = r["tt"], r["sden"], r["ok"]
-            d_tt = jnp.where(surf, d_ts, 0.0)
+            d_tt = jnp.where(surf, d_ts, 0.0) + d_tt_extra
+            if num_spheres:
+                s_r = r["sph"]
+                is_sph = s_r["is_sph"]
+                d_tsph = jnp.where(is_sph, d_tt, 0.0)
+                d_tt = jnp.where(is_sph, 0.0, d_tt)
+                # t_sph = where(t1_ok, t1, t2); t1/t2 = (-b -+ sq)/(2a)
+                t1_ok = s_r["t1_ok"]
+                a_q, b_q, c_q = s_r["a_q"], s_r["b_q"], s_r["c_q"]
+                d_t1 = jnp.where(t1_ok, d_tsph, 0.0)
+                d_t2 = jnp.where(t1_ok, 0.0, d_tsph)
+                inv2a = 1.0 / (2.0 * a_q)
+                d_b_q = -(d_t1 + d_t2) * inv2a
+                d_sq = (d_t2 - d_t1) * inv2a
+                d_a_q = -(s_r["t1"] * d_t1 + s_r["t2"] * d_t2) / a_q
+                # sq = sqrt(where(pos_d, disc, 1)); disc = b^2 - 4ac
+                d_disc = jnp.where(s_r["pos_d"],
+                                   d_sq / (2.0 * s_r["sq"]), 0.0)
+                d_b_q += 2.0 * b_q * d_disc
+                d_a_q += -4.0 * c_q * d_disc
+                d_c_q = -4.0 * a_q * d_disc
+                # c_q = oc.oc - r^2 ; b_q = 2 oc.d ; a_q = d.d
+                ocx, ocy, ocz = s_r["oc"]
+                d_oc = [2.0 * ocx * d_c_q + 2.0 * dx * d_b_q,
+                        2.0 * ocy * d_c_q + 2.0 * dy * d_b_q,
+                        2.0 * ocz * d_c_q + 2.0 * dz * d_b_q]
+                d_srad += -2.0 * s_r["srad"] * d_c_q
+                d_d[0] += 2.0 * ocx * d_b_q + 2.0 * dx * d_a_q
+                d_d[1] += 2.0 * ocy * d_b_q + 2.0 * dy * d_a_q
+                d_d[2] += 2.0 * ocz * d_b_q + 2.0 * dz * d_a_q
+                # oc = o - sc
+                d_o[0] += d_oc[0]
+                d_o[1] += d_oc[1]
+                d_o[2] += d_oc[2]
+                d_sc[0] -= d_oc[0]
+                d_sc[1] -= d_oc[1]
+                d_sc[2] -= d_oc[2]
+            # Plane chain: tt = (c0 - o.tn) / sden.
             d_num = d_tt / sden
             d_sden = -(tt * d_tt) / sden
             d_den = jnp.where(ok, d_sden, 0.0)
             d_c0 = d_num
-            d_o[0] -= nx * d_num
-            d_o[1] -= ny * d_num
-            d_o[2] -= nz * d_num
-            d_n[0] -= ox * d_num
-            d_n[1] -= oy * d_num
-            d_n[2] -= oz * d_num
-            d_d[0] += nx * d_den
-            d_d[1] += ny * d_den
-            d_d[2] += nz * d_den
-            d_n[0] += dx * d_den
-            d_n[1] += dy * d_den
-            d_n[2] += dz * d_den
+            d_o[0] -= tnx * d_num
+            d_o[1] -= tny * d_num
+            d_o[2] -= tnz * d_num
+            d_tn[0] -= ox * d_num
+            d_tn[1] -= oy * d_num
+            d_tn[2] -= oz * d_num
+            d_d[0] += tnx * d_den
+            d_d[1] += tny * d_den
+            d_d[2] += tnz * d_den
+            d_tn[0] += dx * d_den
+            d_tn[1] += dy * d_den
+            d_tn[2] += dz * d_den
 
-            # (1) table cotangent accumulation: [P, NTAB] one-hot matmul.
-            planes = jnp.stack(
-                [d_n[0], d_n[1], d_n[2], d_c0,
-                 d_df[0], d_df[1], d_df[2],
-                 d_em[0], d_em[1], d_em[2]], axis=0)  # [NTAB, 32, 128]
-            planes = planes.reshape(NTAB, TILE)
+            # (1) table cotangent accumulation: [P, ntab] one-hot matmul.
+            rows = [d_tn[0], d_tn[1], d_tn[2], d_c0,
+                    d_df[0], d_df[1], d_df[2],
+                    d_em[0], d_em[1], d_em[2]]
+            if num_spheres:
+                rows += [d_sc[0], d_sc[1], d_sc[2], d_srad]
+            planes = jnp.stack(rows, axis=0)  # [ntab, 32, 128]
+            planes = planes.reshape(ntab, TILE)
             part = jax.lax.dot_general(
                 r["onehot"], planes, (((1,), (1,)), ((), ())),
                 preferred_element_type=_F32,
-                precision=jax.lax.Precision.HIGHEST)  # [P, NTAB]
+                precision=jax.lax.Precision.HIGHEST)  # [P, ntab]
             dtab_acc = dtab_acc + part
 
         # Camera reverse (bounce-0 entry o/d are the camera ray).
@@ -441,7 +568,7 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         new_scal = tuple(d_pos + d_hu + d_hv + d_wb + d_lc + d_lcol + d_ln)
         return dtab_acc, new_scal
 
-    dtab0 = jnp.zeros((P, NTAB), _F32)
+    dtab0 = jnp.zeros((P, ntab), _F32)
     scal0 = tuple(zero for _ in range(NSCAL))
     dtab_acc, dscal = jax.lax.fori_loop(
         0, s_chunk, one_sample, (dtab0, scal0), unroll=False)
@@ -457,9 +584,10 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     dscal_ref[...] += scal_row
 
 
-def _bwd_pallas(config: RenderConfig, n_pixels: int, num_tris: int,
-                g_planes, aux_planes, table, cam_vec, light_vec,
-                interpret: bool, rid_base, n_local: int, offsets=None):
+def _bwd_pallas(config: RenderConfig, n_pixels: int, num_prims: int,
+                num_spheres: int, g_planes, aux_planes, table, cam_vec,
+                light_vec, interpret: bool, rid_base, n_local: int,
+                offsets=None):
     from .pallas_path import _sample_chunk_for
     n_padded = ((n_local + TILE - 1) // TILE) * TILE
     recompute_rng = offsets is not None
@@ -467,6 +595,8 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_tris: int,
     n_schunks = config.spp // s_chunk
     grid = (n_padded // TILE, n_schunks)
     csb = s_chunk * config.bounces
+    nrows = NROWS_TAB_SPH if num_spheres else NROWS_TAB
+    ntab = NTAB_SPH if num_spheres else NTAB
 
     ray_spec = pl.BlockSpec((RAY_SUB, LANES), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -482,8 +612,8 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_tris: int,
     else:
         aux_specs = [sb_spec] * 5 + [s_spec] * 2  # records + uv + jitter
         aux_inputs = aux_planes
-    kernel = partial(_shade_bwd_kernel, config, n_pixels, num_tris,
-                     recompute_rng, s_chunk)
+    kernel = partial(_shade_bwd_kernel, config, n_pixels, num_prims,
+                     num_spheres, recompute_rng, s_chunk)
     dtab, dscal = pl.pallas_call(
         kernel,
         grid=grid,
@@ -491,19 +621,19 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_tris: int,
                   *aux_specs,
                   pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),    # rid_base
-                  pl.BlockSpec((11, num_tris), lambda i, j: (0, 0),
+                  pl.BlockSpec((nrows, num_prims), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),    # table
                   pl.BlockSpec((1, 12), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),    # camera
                   pl.BlockSpec((1, 9), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)],   # light
         out_specs=(
-            pl.BlockSpec((num_tris, NTAB), lambda i, j: (0, 0),
+            pl.BlockSpec((num_prims, ntab), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NSCAL), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(jax.ShapeDtypeStruct((num_tris, NTAB), _F32),
+        out_shape=(jax.ShapeDtypeStruct((num_prims, ntab), _F32),
                    jax.ShapeDtypeStruct((1, NSCAL), _F32)),
         interpret=interpret,
     )(*g_planes, *aux_inputs, rid_base, table, cam_vec, light_vec)
@@ -530,7 +660,8 @@ def _attach_bwd(config, interpret, resids, g):
     table, cam_vec, light_vec, aux_planes, rid_base, offsets = resids
     n_local = g.shape[0] * (g.shape[1] if g.ndim == 3 else 1)
     n_padded = ((n_local + TILE - 1) // TILE) * TILE
-    num_tris = table.shape[1]
+    num_prims = table.shape[1]
+    has_spheres = table.shape[0] == NROWS_TAB_SPH
 
     # hdr cotangent ([H, W, 3] or flat [local, 3]) -> padded tile planes,
     # pre-scaled by 1/spp (hdr = sum_samples acc / spp).
@@ -543,12 +674,18 @@ def _attach_bwd(config, interpret, resids, g):
             -1, LANES)
     else:
         off_planes = None
-    dtab, dscal = _bwd_pallas(config, config.num_pixels, num_tris, g_planes,
+    dtab, dscal = _bwd_pallas(config, config.num_pixels, num_prims,
+                              1 if has_spheres else 0, g_planes,
                               aux_planes, table, cam_vec, light_vec,
                               interpret, rid_base, n_local,
                               offsets=off_planes)
-    d_table = jnp.concatenate(
-        [dtab.T, jnp.zeros((1, num_tris), _F32)], axis=0)  # +is_em row
+    zrow = jnp.zeros((1, num_prims), _F32)
+    if has_spheres:
+        # [n(3), c0, df(3), em(3)] + is_em(0) + [center(3), radius] + is_sph(0)
+        d_table = jnp.concatenate(
+            [dtab.T[:NTAB], zrow, dtab.T[NTAB:NTAB_SPH], zrow], axis=0)
+    else:
+        d_table = jnp.concatenate([dtab.T, zrow], axis=0)  # +is_em row
     d_cam = dscal[:, 0:12]
     d_light = dscal[:, 12:21]
 
@@ -573,15 +710,39 @@ _attach_grad.defvjp(_attach_fwd, _attach_bwd)
 def _pack_diff_inputs(scene: Scene, config: RenderConfig):
     """Differentiable jnp packing of the kernel's parameter views — grads
     chain from the kernel's cotangents back to the scene pytree (verts via
-    compile_scene, camera via camera_basis, light fields directly)."""
+    compile_scene, camera via camera_basis, sphere center/radius directly,
+    light fields directly). Column order matches the trace kernel's record
+    encoding: triangles first, then spheres."""
     compiled = compile_scene(scene.triangles, lane_pad=1)
-    table = jnp.stack([
+    tri_rows = [
         compiled.n[:, 0], compiled.n[:, 1], compiled.n[:, 2], compiled.c0,
         compiled.diffuse[:, 0], compiled.diffuse[:, 1], compiled.diffuse[:, 2],
         compiled.emissive[:, 0], compiled.emissive[:, 1],
         compiled.emissive[:, 2],
         compiled.is_emissive.astype(_F32),
-    ])  # [11, P]
+    ]
+    sp = scene.spheres
+    if sp.num_spheres:
+        n_t = scene.triangles.num_triangles
+        zt = jnp.zeros((n_t,), _F32)
+        zs = jnp.zeros((sp.num_spheres,), _F32)
+        sph_rows = [
+            zs, zs, zs, zs,                                     # n, c0
+            sp.diffuse[:, 0], sp.diffuse[:, 1], sp.diffuse[:, 2],
+            sp.emissive[:, 0], sp.emissive[:, 1], sp.emissive[:, 2],
+            (jnp.linalg.norm(sp.emissive, axis=-1) > 0.0).astype(_F32),
+        ]
+        rows = [jnp.concatenate([t, s]) for t, s in zip(tri_rows, sph_rows)]
+        rows += [
+            jnp.concatenate([zt, sp.center[:, 0]]),
+            jnp.concatenate([zt, sp.center[:, 1]]),
+            jnp.concatenate([zt, sp.center[:, 2]]),
+            jnp.concatenate([zt, sp.radius]),
+            jnp.concatenate([zt, jnp.ones((sp.num_spheres,), _F32)]),
+        ]
+        table = jnp.stack(rows)  # [NROWS_TAB_SPH, T + S]
+    else:
+        table = jnp.stack(tri_rows)  # [NROWS_TAB, T]
 
     cam = scene.camera
     res_x, res_y = config.resolution
@@ -602,24 +763,27 @@ def _pack_diff_inputs(scene: Scene, config: RenderConfig):
     return table, cam_vec, light_vec
 
 
-def _auto_records_only(config: RenderConfig) -> bool:
+def _auto_records_only(config: RenderConfig, n_pixels=None) -> bool:
     """records_only when the six f32 draw planes would exceed ~2 GB —
     BASELINE config 5 (1024^2 x 256 spp) needs ~18 GB of them; regenerating
     the draws in the backward kernel costs a few Halton evaluations per
-    (sample, bounce) instead."""
-    nsb = config.num_pixels * config.spp * config.bounces
-    return nsb * 4 * 4 + config.num_pixels * config.spp * 2 * 4 > 2 << 30
+    (sample, bounce) instead. ``n_pixels`` is the pixel count this device
+    actually renders (the shard-local count under shard_map — a sharded run
+    should only pay the recompute-RNG cost at the per-device memory pressure
+    that requires it)."""
+    if n_pixels is None:
+        n_pixels = config.num_pixels
+    nsb = n_pixels * config.spp * config.bounces
+    return nsb * 4 * 4 + n_pixels * config.spp * 2 * 4 > 2 << 30
 
 
 def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
                                 interpret=None,
                                 records_only=None) -> jnp.ndarray:
     """Variant-B differentiable render at megakernel forward speed: the
-    trace kernel's hdr with the hand-written backward attached. Triangle
-    scenes only (callers fall back to the jnp replay for spheres)."""
-    if scene.spheres.num_spheres:
-        raise ValueError("fused decoupled path supports triangle scenes; "
-                         "use render_path_decoupled for sphere scenes")
+    trace kernel's hdr with the hand-written backward attached. Handles
+    triangle and sphere scenes (the backward replays the analytic sphere
+    quadratic — interior gradients identical to oracle AD)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if records_only is None:
@@ -643,12 +807,10 @@ def render_path_fused_local(scene: Scene, config: RenderConfig,
     and returns flat [local, 3] hdr with the hand-written backward attached.
     Cotangents for the replicated scene parameters are per-shard partials —
     shard_map's transpose inserts the psum."""
-    if scene.spheres.num_spheres:
-        raise ValueError("fused decoupled path supports triangle scenes")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if records_only is None:
-        records_only = _auto_records_only(config)
+        records_only = _auto_records_only(config, local_offsets.shape[0])
     hdr, aux = _render_pallas_impl(jax.lax.stop_gradient(scene), config,
                                    interpret=interpret, emit_records=True,
                                    raw_records=True,

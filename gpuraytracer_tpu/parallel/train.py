@@ -62,8 +62,9 @@ def make_train_step_fused(scene: Scene, config: RenderConfig, mesh,
                           learning_rate: float = 1e-2, optimizer=None):
     """Sharded training step on the FAST path: Pallas trace kernel forward +
     hand-written Pallas backward per shard (parallel/fast.py), parameter
-    gradients all-reduced by shard_map's transpose over ``rays``. Triangle
-    scenes only (the fused kernels don't differentiate spheres)."""
+    gradients all-reduced by shard_map's transpose over ``rays``. Handles
+    triangle and sphere scenes (the backward replays the analytic sphere
+    quadratic in-kernel)."""
     from .fast import render_path_fused_sharded
     return make_train_step(scene, config, mesh, learning_rate, optimizer,
                            renderer=render_path_fused_sharded)

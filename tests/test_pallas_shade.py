@@ -53,10 +53,61 @@ def test_fused_grads_match_oracle(grads, group):
     np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-4)
 
 
-def test_fused_rejects_sphere_scenes():
-    s = cornell_box_with_spheres(resolution=(16, 8))
-    with pytest.raises(ValueError):
-        render_path_decoupled_fused(s, _CFG)
+@pytest.fixture(scope="module")
+def sphere_scene16():
+    return cornell_box_with_spheres(resolution=(16, 8))
+
+
+@pytest.fixture(scope="module")
+def sphere_grads(sphere_scene16):
+    g_f = jax.grad(lambda s: jnp.mean(
+        render_path_decoupled_fused(s, _CFG)), allow_int=True)(sphere_scene16)
+    g_o = jax.grad(lambda s: jnp.mean(render(s, _CFG).hdr),
+                   allow_int=True)(sphere_scene16)
+    return g_f, g_o
+
+
+def test_fused_sphere_value_matches_oracle(sphere_scene16):
+    """The fused backward now carries the analytic-sphere branch (BASELINE
+    config 1/4 scenes at kernel speed)."""
+    out = np.asarray(render_path_decoupled_fused(sphere_scene16, _CFG))
+    oracle = np.asarray(render(sphere_scene16, _CFG).hdr)
+    np.testing.assert_allclose(out, oracle, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("group", [
+    "spheres.center", "spheres.radius", "spheres.diffuse",
+    "light.color", "light.center", "triangles.verts", "triangles.diffuse",
+    "camera.position", "camera.direction",
+])
+def test_fused_sphere_grads_match_oracle(sphere_grads, group):
+    g_f, g_o = sphere_grads
+    obj_f, obj_o = g_f, g_o
+    for part in group.split("."):
+        obj_f = getattr(obj_f, part)
+        obj_o = getattr(obj_o, part)
+    a, b = np.asarray(obj_f), np.asarray(obj_o)
+    assert np.abs(b).max() > 0.0, f"oracle grad for {group} is all-zero"
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-4)
+
+
+def test_sphere_records_only_matches_plane_mode(sphere_scene16):
+    """Sphere scenes through the recompute-RNG (config-5 memory) mode."""
+    out_a = render_path_decoupled_fused(sphere_scene16, _CFG,
+                                        records_only=False)
+    out_b = render_path_decoupled_fused(sphere_scene16, _CFG,
+                                        records_only=True)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    g_a = jax.grad(lambda s: jnp.mean(
+        render_path_decoupled_fused(s, _CFG, records_only=False)),
+        allow_int=True)(sphere_scene16)
+    g_b = jax.grad(lambda s: jnp.mean(
+        render_path_decoupled_fused(s, _CFG, records_only=True)),
+        allow_int=True)(sphere_scene16)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        if hasattr(a, "dtype") and a.dtype == jnp.float32:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, rtol=1e-5)
 
 
 def test_decoupled_dispatch_uses_fused_for_triangle_scene(scene):
