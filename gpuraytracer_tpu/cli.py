@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="jnp",
                    help="reference jnp path, the Pallas TPU kernel, or the "
                         "differentiable decoupled trace+replay path")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="abort with a traceback on the first NaN-producing "
+                        "op (utils.debug; forces sync execution — slow)")
     return p
 
 
@@ -50,6 +53,9 @@ def main(argv=None) -> int:
     import jax
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    if args.debug_nans:
+        from .utils import debug
+        debug.enable(nans=True)
     from . import image as img
     from .render import render_jit, tonemap_mis
     from .scene import cornell_box, cornell_box_with_spheres
@@ -87,13 +93,19 @@ def main(argv=None) -> int:
             hdr = jax.block_until_ready(render_path_pallas(scene, cfg))
             out = None
     elif args.kernel == "decoupled":
-        from .ops import render_path_decoupled
-        cfg = (config.replace(bounces=1)
-               if args.integrator == "direct" else config)
         if args.integrator == "mis":
-            raise SystemExit("--kernel decoupled supports path/direct only")
-        hdr = jax.block_until_ready(render_path_decoupled(scene, cfg))
-        out = None
+            # Fused MIS: trace-kernel forward + record-replay Pallas
+            # backward (the repo's fastest differentiable variant-A path).
+            from .ops.pallas_mis_bwd import render_mis_decoupled
+            acc = jax.block_until_ready(render_mis_decoupled(scene, config))
+            hdr, out = acc, tonemap_mis(acc, config.camera_rays,
+                                        scene.camera.ev100)
+        else:
+            from .ops import render_path_decoupled
+            cfg = (config.replace(bounces=1)
+                   if args.integrator == "direct" else config)
+            hdr = jax.block_until_ready(render_path_decoupled(scene, cfg))
+            out = None
     else:
         result = jax.block_until_ready(render_jit(scene, config))
         hdr, out = result.hdr, result.ldr

@@ -68,11 +68,14 @@ def pixel_loss(params: SceneParams, scene: Scene, config: RenderConfig,
 
 def fast_pixel_loss(params: SceneParams, scene: Scene, config: RenderConfig,
                     target: jnp.ndarray) -> jnp.ndarray:
-    """``pixel_loss`` through the decoupled Pallas trace + jnp replay
-    (ops/decoupled.py): ~30x the oracle's fwd+bwd throughput on TPU with
-    identical (interior) gradients. Records are re-traced every step at the
-    current parameters, so the piecewise-constant visibility is always
-    evaluated at the live scene — the same estimator as ``pixel_loss``."""
+    """``pixel_loss`` through the fused kernel pair (Pallas trace forward +
+    hand-written Pallas backward, ops/pallas_shade.py — sphere scenes take
+    the analytic-sphere branch): ~100x the oracle's fwd+bwd throughput on
+    TPU with identical (interior) gradients. Records are re-traced every
+    step at the current parameters, so the piecewise-constant visibility is
+    always evaluated at the live scene — the same estimator as
+    ``pixel_loss``. This is BASELINE config 4's optax loop at kernel
+    speed (``inverse_render(..., fast=True)``)."""
     from ..ops import render_path_decoupled
     img = render_path_decoupled(apply_params(scene, params), config)
     return jnp.mean((img - target) ** 2)

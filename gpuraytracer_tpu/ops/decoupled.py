@@ -325,7 +325,8 @@ def shade_replay(scene: Scene, aux: TraceAux,
     return hdr.reshape(config.height, config.width, 3)
 
 
-def render_path_decoupled(scene: Scene, config: RenderConfig) -> jnp.ndarray:
+def render_path_decoupled(scene: Scene, config: RenderConfig,
+                          draws=None) -> jnp.ndarray:
     """Fast differentiable variant-B render. Value matches the
     megakernel/oracle; gradients match jax.grad of the oracle.
 
@@ -333,6 +334,8 @@ def render_path_decoupled(scene: Scene, config: RenderConfig) -> jnp.ndarray:
     forward + the hand-written Pallas backward, ops/pallas_shade.py — the
     backward replays the analytic sphere quadratic in-kernel). The jnp
     ``shade_replay`` remains as the slow parity oracle for the record
-    format (tests/test_decoupled.py)."""
+    format (tests/test_decoupled.py). ``draws``: optional step-invariant
+    ``pallas_path.pregen_draws(config)`` planes — pass from outside a
+    training loop to amortize their generation."""
     from .pallas_shade import render_path_decoupled_fused
-    return render_path_decoupled_fused(scene, config)
+    return render_path_decoupled_fused(scene, config, draws=draws)

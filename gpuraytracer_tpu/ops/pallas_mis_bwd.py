@@ -24,14 +24,19 @@ with the discrete structure (one-hots, masks) held outside the vjp.
 
 Cotangent outputs per tile, accumulated across the (camera ray, sample)
 loops and reduced once at the end:
-  * per-triangle table [P, NDIF]: normal xyz, plane c0, diffuse rgb,
-    metallic, roughness (+ a discarded is_emissive row), via one
-    [P, TILE] @ [TILE, NDIF] one-hot MXU matmul per fetch site;
+  * per-primitive table [P, ndif]: normal xyz, plane c0, diffuse rgb,
+    metallic, roughness (+ a discarded is_emissive row) — and, for sphere
+    scenes, center xyz + radius (+ a discarded is_sphere row) — via one
+    [P, TILE] @ [TILE, ndif] one-hot MXU matmul per fetch site;
   * camera (12) and light (17) scalars as running partial-sum planes.
 
-Scope: triangle scenes (sphere MIS scenes fall back to the oracle VJP in
-``render_mis_decoupled``). Reference being differentiated:
-Sources/gpuRaytracer/shaders.metal:543-707.
+Scope: triangle AND sphere scenes. Sphere lanes replay the analytic
+quadratic t(center, radius) and the point normal (hit − center)/‖·‖ inside
+the vjp'd closure, so center/radius cotangents come out of the same
+in-kernel AD as everything else (the discrete is_sphere select and the
+recorded winner stay piecewise-constant). References being differentiated:
+Sources/gpuRaytracer/shaders.metal:543-707 (MIS integrator),
+Sources/gpuRaytracer/shaders_old.metal:108-136 (analytic sphere).
 """
 from __future__ import annotations
 
@@ -60,16 +65,21 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 PI = math.pi
 
-# Differentiable per-triangle table rows: n(3), c0, diffuse(3), metallic,
+# Differentiable per-primitive table rows: n(3), c0, diffuse(3), metallic,
 # roughness, is_emissive (the last is only compared against 0.5, so its
-# cotangent is structurally zero and gets dropped host-side).
+# cotangent is structurally zero and gets dropped host-side). Sphere scenes
+# append center(3), radius, is_sphere (selector, cotangent likewise zero).
 NDIF = 10
+NDIF_SPH = 15
 NCAM = 12
 NLIGHT = 17
 NSCAL = NCAM + NLIGHT
+RAY_TMIN = 1e-3
+RAY_TMAX = 1e3
 
 
-def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
+def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
+                    num_spheres: int,
                     g_r_ref, g_g_ref, g_b_ref, crec_ref, srec_ref,
                     tab_ref, cam_ref, light_ref, stab_ref,
                     dtab_ref, dscal_ref):
@@ -82,7 +92,8 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     version overflowed the 16 MB VMEM scoped allocation."""
     W = config.width
     H = config.height
-    P = num_tris
+    P = n_prims
+    ndif = NDIF_SPH if num_spheres else NDIF
     s_per = config.mis_samples // 3
 
     pid = pl.program_id(0)
@@ -107,20 +118,75 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     camp0 = tuple(zero + c for c in cam12)
     lightp0 = tuple(zero + c for c in light17)
 
-    tabv = tab_ref[...]  # [NDIF, P]
+    # Exact ONE-PASS fetch via the bf16 chunk-split (see pallas_shade.py:
+    # t0 = bf16(t), t1 = bf16(t - t0), t2 = the exact remainder — stacked
+    # along the output dim, one DEFAULT matmul, fold reconstructs f32
+    # exactly in any order) — 1/6 the MXU passes of the HIGHEST fetch.
+    tabv = tab_ref[...]  # [ndif, P]
+    t0_ = tabv.astype(jnp.bfloat16).astype(_F32)
+    r1_ = tabv - t0_
+    t1_ = r1_.astype(jnp.bfloat16).astype(_F32)
+    tab9 = jnp.concatenate([t0_, t1_, r1_ - t1_], axis=0)  # [3*ndif, P]
     p_iota = jax.lax.broadcasted_iota(_I32, (P, TILE), 0)
 
     def fetch(code):
         """code (prim + 1, 0 = miss) -> (hit, onehot [P, TILE],
-        at [NDIF, RAY_SUB, LANES]). Exact one-hot MXU fetch."""
+        at [ndif, RAY_SUB, LANES]). Exact chunk-split one-hot MXU fetch."""
         prim = code - 1
         pc = jnp.clip(prim, 0, P - 1)
         onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
-        at = jax.lax.dot_general(
-            tabv, onehot, (((1,), (0,)), ((), ())),
+        at9 = jax.lax.dot_general(
+            tab9, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=_F32,
-            precision=jax.lax.Precision.HIGHEST)
-        return prim >= 0, onehot, at.reshape(NDIF, RAY_SUB, LANES)
+            precision=jax.lax.Precision.DEFAULT)  # [3*ndif, TILE]
+        at = at9[:ndif] + at9[ndif:2 * ndif] + at9[2 * ndif:]
+        return prim >= 0, onehot, at.reshape(ndif, RAY_SUB, LANES)
+
+    def accum_tab(dtab_acc, onehot, d_at):
+        """Cotangent accumulation with the two-chunk split (hi = bf16(d) as
+        an exact product + the residual, truncated by DEFAULT's own bf16
+        rounding to <=2^-18 rel per partial — far inside the grad-parity
+        tolerance; exact in interpret mode where matmuls stay f32)."""
+        d = d_at.reshape(ndif, TILE)
+        p0 = d.astype(jnp.bfloat16).astype(_F32)
+        planes6 = jnp.concatenate([p0, d - p0], axis=0)  # [2*ndif, TILE]
+        part = jax.lax.dot_general(
+            onehot, planes6, (((1,), (1,)), ((), ())),
+            preferred_element_type=_F32,
+            precision=jax.lax.Precision.DEFAULT)  # [P, 2*ndif]
+        return dtab_acc + (part[:, :ndif] + part[:, ndif:])
+
+    def sphere_t(at_, ox, oy, oz, dx, dy, dz, tt_plane):
+        """Select the analytic sphere root on is_sphere lanes (mirrors
+        _mis_kernel.sphere_roots op-for-op => bit-equal t replay). No-op
+        for triangle-only scenes."""
+        if not num_spheres:
+            return tt_plane
+        is_sph = at_[14] > 0.5
+        ocx, ocy, ocz = ox - at_[10], oy - at_[11], oz - at_[12]
+        a_q = dx * dx + dy * dy + dz * dz
+        b_q = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c_q = (ocx * ocx + ocy * ocy + ocz * ocz) - at_[13] * at_[13]
+        disc = b_q * b_q - 4.0 * a_q * c_q
+        posd = disc > 0.0
+        sq = jnp.sqrt(jnp.where(posd, disc, 1.0))
+        t1 = (-b_q - sq) / (2.0 * a_q)
+        t2 = (-b_q + sq) / (2.0 * a_q)
+        t1_ok = (t1 > RAY_TMIN) & (t1 < RAY_TMAX)
+        return jnp.where(is_sph, jnp.where(t1_ok, t1, t2), tt_plane)
+
+    def sphere_normal(at_, p_x, p_y, p_z, active, nh3):
+        """Point normal (p − center)/‖·‖ on active sphere lanes (mirrors
+        _mis_kernel.closest_full's post-loop normal select)."""
+        if not num_spheres:
+            return nh3
+        sel = active & (at_[14] > 0.5)
+        nvx, nvy, nvz = p_x - at_[10], p_y - at_[11], p_z - at_[12]
+        inv = jax.lax.rsqrt(jnp.maximum(
+            nvx * nvx + nvy * nvy + nvz * nvz, 1e-6))
+        return (jnp.where(sel, nvx * inv, nh3[0]),
+                jnp.where(sel, nvy * inv, nh3[1]),
+                jnp.where(sel, nvz * inv, nh3[2]))
 
     m1, m2, m3 = (_F32(1.0) if on else _F32(0.0)
                   for on in DEBUG_STRATEGY_MASK)
@@ -162,9 +228,14 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         ok = jnp.abs(den) >= 1e-12
         tt = (c0 - (ox * nhx + oy * nhy + oz * nhz)) \
             / jnp.where(ok, den, 1.0)
+        tt = sphere_t(at_cam_, ox, oy, oz, dx, dy, dz, tt)
         t_safe = jnp.where(surf, tt, 0.0)
-        return (dx, dy, dz,
-                ox + dx * t_safe, oy + dy * t_safe, oz + dz * t_safe,
+        p_x = ox + dx * t_safe
+        p_y = oy + dy * t_safe
+        p_z = oz + dz * t_safe
+        nhx, nhy, nhz = sphere_normal(at_cam_, p_x, p_y, p_z, surf,
+                                      (nhx, nhy, nhz))
+        return (dx, dy, dz, p_x, p_y, p_z,
                 nhx, nhy, nhz,
                 at_cam_[4], at_cam_[5], at_cam_[6],   # diffuse
                 at_cam_[7], at_cam_[8])               # metallic, roughness
@@ -230,6 +301,7 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         ok2 = jnp.abs(den2) >= 1e-12
         t2 = (c02 - (oxx * n2x + oyy * n2y + ozz * n2z)) \
             / jnp.where(ok2, den2, 1.0)
+        t2 = sphere_t(at2, oxx, oyy, ozz, sdx, sdy, sdz, t2)
 
         vx, vy, vz = -dx, -dy, -dz
         br, bg, bb = _brdf(vx, vy, vz, nhx, nhy, nhz,
@@ -243,9 +315,13 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
         hit_geo = surf & hit2 & (at2[9] <= 0.5)
         t2_safe = jnp.where(hit_geo, t2, 0.0)
+        bpx = oxx + sdx * t2_safe
+        bpy = oyy + sdy * t2_safe
+        bpz = ozz + sdz * t2_safe
+        n2x, n2y, n2z = sphere_normal(at2, bpx, bpy, bpz, hit_geo,
+                                      (n2x, n2y, n2z))
         sr, sg, sb = direct_light(
-            lightp_, oxx + sdx * t2_safe, oyy + sdy * t2_safe,
-            ozz + sdz * t2_safe, n2x, n2y, n2z, sdx, sdy, sdz,
+            lightp_, bpx, bpy, bpz, n2x, n2y, n2z, sdx, sdy, sdz,
             at2[4], at2[5], at2[6], at2[7], at2[8], su0, su1,
             sec_reach, hit_geo, False)
         gr = br * inv_pdf * sr
@@ -357,12 +433,7 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
         d_at_cam = d_at_cam + da1 + da2 + da3
         for onehot, d_at in ((onehot_c, d_at_c), (onehot_v, d_at_v)):
-            part = jax.lax.dot_general(
-                onehot, d_at.reshape(NDIF, TILE),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=_F32,
-                precision=jax.lax.Precision.HIGHEST)  # [P, NDIF]
-            dtab_acc = dtab_acc + part
+            dtab_acc = accum_tab(dtab_acc, onehot, d_at)
         dcamp = tuple(a + b + c + d
                       for a, b, c, d in zip(dcamp, dc1, dc2, dc3))
         dlightp = tuple(a + b + c + d
@@ -375,18 +446,13 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     for c in range(3):
         zlight[3 + c] = jnp.where(cam_hit_light, g3[c], 0.0)
 
-    d_at_cam0 = jnp.zeros((NDIF, RAY_SUB, LANES), _F32)
-    dtab0 = jnp.zeros((P, NDIF), _F32)
+    d_at_cam0 = jnp.zeros((ndif, RAY_SUB, LANES), _F32)
+    dtab0 = jnp.zeros((P, ndif), _F32)
     zcam = tuple(zero for _ in range(NCAM))
     d_at_cam, dtab_acc, dcamp, dlightp = jax.lax.fori_loop(
         0, s_per, one_sample, (d_at_cam0, dtab0, zcam, tuple(zlight)))
 
-    part = jax.lax.dot_general(
-        onehot_cam, d_at_cam.reshape(NDIF, TILE),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=_F32,
-        precision=jax.lax.Precision.HIGHEST)  # [P, NDIF]
-    dtab_acc = dtab_acc + part
+    dtab_acc = accum_tab(dtab_acc, onehot_cam, d_at_cam)
 
     @pl.when((pid == 0) & (cr_i == 0))
     def _():
@@ -399,17 +465,20 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     dscal_ref[...] += scal_row
 
 
-def _bwd_pallas(config: RenderConfig, num_tris: int, g_planes, recs,
-                tab, cam_vec, light_vec, stab, interpret: bool):
+def _bwd_pallas(config: RenderConfig, n_prims: int, num_spheres: int,
+                g_planes, recs, tab, cam_vec, light_vec, stab,
+                interpret: bool):
     n_pixels = config.num_pixels
     n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
     cr_n = config.camera_rays
     s_per = config.mis_samples // 3
     grid = (n_padded // TILE, cr_n)
+    ndif = NDIF_SPH if num_spheres else NDIF
 
     ray_spec = pl.BlockSpec((RAY_SUB, LANES), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
-    kernel = partial(_mis_bwd_kernel, config, n_pixels, num_tris)
+    kernel = partial(_mis_bwd_kernel, config, n_pixels, n_prims,
+                     num_spheres)
     dtab, dscal = pl.pallas_call(
         kernel,
         grid=grid,
@@ -421,7 +490,7 @@ def _bwd_pallas(config: RenderConfig, num_tris: int, g_planes, recs,
             pl.BlockSpec((RAY_SUB * s_per, LANES),
                          lambda i, j: (i * cr_n + j, 0),
                          memory_space=pltpu.VMEM),           # sample records
-            pl.BlockSpec((NDIF, num_tris), lambda i, j: (0, 0),
+            pl.BlockSpec((ndif, n_prims), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),           # diff table
             pl.BlockSpec((1, NCAM), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),           # camera
@@ -431,12 +500,12 @@ def _bwd_pallas(config: RenderConfig, num_tris: int, g_planes, recs,
                          memory_space=pltpu.SMEM),           # sample tables
         ],
         out_specs=(
-            pl.BlockSpec((num_tris, NDIF), lambda i, j: (0, 0),
+            pl.BlockSpec((n_prims, ndif), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NSCAL), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(jax.ShapeDtypeStruct((num_tris, NDIF), _F32),
+        out_shape=(jax.ShapeDtypeStruct((n_prims, ndif), _F32),
                    jax.ShapeDtypeStruct((1, NSCAL), _F32)),
         interpret=interpret,
     )(*g_planes, *recs, tab, cam_vec, light_vec, stab)
@@ -462,7 +531,8 @@ def _attach_fwd(config, interpret, hdr, tab, cam_vec, light_vec, stab,
 def _attach_bwd(config, interpret, resids, g):
     import numpy as np
     tab, cam_vec, light_vec, stab, recs = resids
-    num_tris = tab.shape[1]
+    n_prims = tab.shape[1]
+    num_spheres = 1 if tab.shape[0] == NDIF_SPH else 0
     n_pixels = config.num_pixels
     n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
 
@@ -470,9 +540,9 @@ def _attach_bwd(config, interpret, resids, g):
     gs = jnp.pad(gs, ((0, n_padded - n_pixels), (0, 0)))
     g_planes = tuple(gs[:, c].reshape(-1, LANES) for c in range(3))
 
-    dtab, dscal = _bwd_pallas(config, num_tris, g_planes, recs, tab,
-                              cam_vec, light_vec, stab, interpret)
-    d_tab = dtab.T                       # [NDIF, P]; is_em row is zero
+    dtab, dscal = _bwd_pallas(config, n_prims, num_spheres, g_planes, recs,
+                              tab, cam_vec, light_vec, stab, interpret)
+    d_tab = dtab.T              # [ndif, P]; is_em/is_sphere rows are zero
     d_cam = dscal[:, 0:NCAM]
     d_light = dscal[:, NCAM:NSCAL]
     d_stab = jnp.zeros_like(stab)        # stop-gradient'd RNG draws
@@ -487,14 +557,36 @@ _attach_grad_mis.defvjp(_attach_fwd, _attach_bwd)
 def _pack_diff_inputs_mis(scene: Scene, config: RenderConfig):
     """Differentiable jnp packing of the backward kernel's parameter views —
     cotangents chain back to the scene pytree (verts via compile_scene,
-    camera via camera_basis, light frame via build_orthonormal_basis)."""
+    camera via camera_basis, light frame via build_orthonormal_basis,
+    sphere center/radius directly). Column order matches the trace kernel's
+    record encoding: triangles first, then spheres."""
     compiled = compile_scene(scene.triangles, lane_pad=1)
     tab = jnp.stack([
         compiled.n[:, 0], compiled.n[:, 1], compiled.n[:, 2], compiled.c0,
         compiled.diffuse[:, 0], compiled.diffuse[:, 1], compiled.diffuse[:, 2],
         compiled.metallic, compiled.roughness,
         compiled.is_emissive.astype(_F32),
-    ])  # [NDIF, P]
+    ])  # [NDIF, T]
+    sp = scene.spheres
+    if sp.num_spheres:
+        n_t = scene.triangles.num_triangles
+        n_s = sp.num_spheres
+        sph_is_em = (jnp.linalg.norm(sp.emissive, axis=-1)
+                     > 0.0).astype(_F32)
+        sph_cols = jnp.concatenate([
+            jnp.zeros((4, n_s), _F32),               # n, c0 (computed)
+            sp.diffuse.T,
+            sp.metallic.reshape(1, -1), sp.roughness.reshape(1, -1),
+            sph_is_em.reshape(1, -1),
+        ], axis=0)                                   # [NDIF, S]
+        extra = jnp.concatenate([                    # rows 10-14
+            jnp.zeros((5, n_t), _F32),
+            jnp.concatenate([sp.center.T, sp.radius.reshape(1, -1),
+                             jnp.ones((1, n_s), _F32)], axis=0),
+        ], axis=1)                                   # [5, T + S]
+        tab = jnp.concatenate(
+            [jnp.concatenate([tab, sph_cols], axis=1), extra],
+            axis=0)                                  # [NDIF_SPH, T + S]
 
     cam = scene.camera
     res_x, res_y = config.resolution
@@ -529,12 +621,10 @@ def _sample_tables(config: RenderConfig):
 def render_mis_fused(scene: Scene, config: RenderConfig,
                      interpret=None) -> jnp.ndarray:
     """Variant-A differentiable MIS render at megakernel speed: the trace
-    kernel's hdr with the record-replay Pallas backward attached. Triangle
-    scenes only (``render_mis_decoupled`` dispatches sphere scenes to the
-    oracle-VJP kernel). Returns [H, W, 3] raw accumulated HDR."""
-    if scene.spheres.num_spheres:
-        raise ValueError("fused MIS path supports triangle scenes; use "
-                         "render_mis_decoupled for sphere scenes")
+    kernel's hdr with the record-replay Pallas backward attached. Handles
+    triangle and sphere scenes (sphere lanes replay the analytic quadratic
+    inside the in-kernel vjp — center/radius gradients at kernel speed).
+    Returns [H, W, 3] raw accumulated HDR."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     hdr, recs = _render_mis_impl(jax.lax.stop_gradient(scene), config,
@@ -546,13 +636,7 @@ def render_mis_fused(scene: Scene, config: RenderConfig,
 
 
 def render_mis_decoupled(scene: Scene, config: RenderConfig) -> jnp.ndarray:
-    """Fast differentiable variant-A render. Value matches the
-    megakernel/oracle; gradients match jax.grad of the oracle.
-
-    Triangle scenes take the fused path (trace kernel forward + the
-    record-replay Pallas backward); sphere scenes fall back to the kernel
-    forward with the jnp-oracle VJP (render_mis_pallas)."""
-    if scene.spheres.num_spheres == 0:
-        return render_mis_fused(scene, config)
-    from .pallas_mis import render_mis_pallas
-    return render_mis_pallas(scene, config)
+    """Fast differentiable variant-A render: the trace kernel forward with
+    the record-replay Pallas backward, for every scene type. Value matches
+    the megakernel/oracle; gradients match jax.grad of the oracle."""
+    return render_mis_fused(scene, config)

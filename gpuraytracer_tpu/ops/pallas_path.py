@@ -164,19 +164,68 @@ def _sample_chunk_for(config: RenderConfig, records_only: bool) -> int:
     return c
 
 
+def _draws_kernel(config: RenderConfig, s_chunk: int,
+                  offsets_ref, nee0_ref, nee1_ref, cos0_ref, cos1_ref,
+                  jx_ref, jy_ref):
+    """Random-draw pregeneration: the trace kernel's Halton evaluations
+    (camera jitter + per-bounce NEE/cosine u-pairs), extracted into their
+    own pass. The draws are a pure function of (pixel offset, sample index)
+    — STEP-INVARIANT across a training/bench loop — so emitting them once
+    and letting the trace kernel read planes turns ~14 radical-inverse
+    tiles per sample of per-step VPU work into a one-time cost that XLA
+    hoists out of `lax.scan`/training loops (the same amortization the MIS
+    kernel gets from its host-precomputed SMEM sample tables). Bit-identical
+    values: same f32-digit Halton as the in-kernel path."""
+    off = offsets_ref[...]
+    j_chunk = pl.program_id(1)
+
+    def one_sample(n_i32, carry):
+        ih = off + (j_chunk * s_chunk + n_i32).astype(_U32)
+        jx = _halton_tile(ih, 0)
+        jy = _halton_tile(ih, 1)
+        if config.sampler == "stratified":
+            k = int(round(math.sqrt(config.spp)))
+            ihf = ih.astype(_I32).astype(_F32)
+            _, cell = _f32_divmod(ihf, config.spp)
+            cy, cx = _f32_divmod(cell, k)
+            inv_k = _F32(1.0 / k)
+            jx = (cx + jx) * inv_k
+            jy = (cy + jy) * inv_k
+        js = pl.ds(n_i32 * RAY_SUB, RAY_SUB)
+        jx_ref[js, :] = jx
+        jy_ref[js, :] = jy
+        for bounce in range(config.bounces):
+            bs = pl.ds((n_i32 * config.bounces + bounce) * RAY_SUB, RAY_SUB)
+            nee0_ref[bs, :] = _halton_tile(ih, 2 + bounce * 5 + 0)
+            nee1_ref[bs, :] = _halton_tile(ih, 2 + bounce * 5 + 1)
+            cos0_ref[bs, :] = _halton_tile(ih, 2 + bounce * 5 + 2)
+            cos1_ref[bs, :] = _halton_tile(ih, 2 + bounce * 5 + 3)
+        return carry
+
+    jax.lax.fori_loop(0, s_chunk, one_sample, 0)
+
+
 def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                  num_spheres: int, emit_records: bool, records_only: bool,
                  s_chunk: int,
                  offsets_ref, rid_base_ref, cam_ref, light_ref, tri_ref,
-                 sph_ref, atab_ref, out_r_ref, out_g_ref, out_b_ref,
-                 *rec_refs):
+                 sph_ref, atab_ref, *rest):
     """One [RAY_SUB, 128] tile of rays: full spp x bounces path trace.
 
     With ``emit_records``, also writes one int32 visibility record per
     (sample, bounce, ray): code = (winning prim + 1) + 512 * shadow_occluded
     (0 = miss; sphere s records as num_tris + s + 1). The records replay the
     kernel's discrete decisions in a cheap differentiable jnp shading pass
-    (ops/decoupled.py) — the fwd+bwd path."""
+    (ops/decoupled.py) — the fwd+bwd path. In this mode (unless
+    ``records_only``) the random draws arrive as precomputed input planes
+    from ``_draws_kernel`` instead of being radical-inversed in-loop."""
+    reads_draws = emit_records and not records_only
+    if reads_draws:
+        (nee0_ref, nee1_ref, cos0_ref, cos1_ref, jx_ref, jy_ref,
+         out_r_ref, out_g_ref, out_b_ref, rec_out_ref) = rest
+    else:
+        out_r_ref, out_g_ref, out_b_ref = rest[:3]
+        rec_out_ref = rest[3] if emit_records else None
     W = config.width
     H = config.height
     he = _F32(config.area_light_half_extent)
@@ -324,27 +373,29 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
     def one_sample(n_i32, carry):
         acc_r, acc_g, acc_b = carry
-        if emit_records:
-            n_glob = j_chunk * s_chunk + n_i32
-        else:
-            n_glob = n_i32
-        ih = off + n_glob.astype(_U32)
-        jx = _halton_tile(ih, 0)
-        jy = _halton_tile(ih, 1)
-        if config.sampler == "stratified":
-            # Jittered grid over spp cells (sampling.stratified2 mirror;
-            # exact f32 integer math — ih < 2^21).
-            k = int(round(math.sqrt(config.spp)))
-            ihf = ih.astype(_I32).astype(_F32)
-            _, cell = _f32_divmod(ihf, config.spp)
-            cy, cx = _f32_divmod(cell, k)
-            inv_k = _F32(1.0 / k)
-            jx = (cx + jx) * inv_k
-            jy = (cy + jy) * inv_k
-        if emit_records and not records_only:
+        if reads_draws:
             js = pl.ds(n_i32 * RAY_SUB, RAY_SUB)
-            rec_refs[5][js, :] = jx
-            rec_refs[6][js, :] = jy
+            jx = jx_ref[js, :]
+            jy = jy_ref[js, :]
+            ih = None
+        else:
+            if emit_records:
+                n_glob = j_chunk * s_chunk + n_i32
+            else:
+                n_glob = n_i32
+            ih = off + n_glob.astype(_U32)
+            jx = _halton_tile(ih, 0)
+            jy = _halton_tile(ih, 1)
+            if config.sampler == "stratified":
+                # Jittered grid over spp cells (sampling.stratified2
+                # mirror; exact f32 integer math — ih < 2^21).
+                k = int(round(math.sqrt(config.spp)))
+                ihf = ih.astype(_I32).astype(_F32)
+                _, cell = _f32_divmod(ihf, config.spp)
+                cy, cx = _f32_divmod(cell, k)
+                inv_k = _F32(1.0 / k)
+                jx = (cx + jx) * inv_k
+                jy = (cy + jy) * inv_k
 
         # Camera ray (sampling.metal:125-157); basis prescaled on host.
         s = ((px + jx) / _F32(W)) * 2.0 - 1.0
@@ -382,8 +433,14 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
             # NEE (sampleAreaLight, sampling.metal:198-236): hardcoded frame
             # right=(he,0,0), up=(0,0,he), light normal (0,-1,0).
-            u_nee0 = _halton_tile(ih, 2 + bounce * 5 + 0)
-            u_nee1 = _halton_tile(ih, 2 + bounce * 5 + 1)
+            if reads_draws:
+                bs = pl.ds((n_i32 * config.bounces + bounce) * RAY_SUB,
+                           RAY_SUB)
+                u_nee0 = nee0_ref[bs, :]
+                u_nee1 = nee1_ref[bs, :]
+            else:
+                u_nee0 = _halton_tile(ih, 2 + bounce * 5 + 0)
+                u_nee1 = _halton_tile(ih, 2 + bounce * 5 + 1)
             w0 = u_nee0 * 2.0 - 1.0
             w1 = u_nee1 * 2.0 - 1.0
             tlx = lcx + he * w0 - hx
@@ -407,12 +464,7 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 code = (prim_f + 1.0) + jnp.where(occ, _F32(512.0), _F32(0.0))
                 bs = pl.ds((n_i32 * config.bounces + bounce) * RAY_SUB,
                            RAY_SUB)
-                rec_refs[0][bs, :] = code.astype(_I32)
-            if emit_records and not records_only:
-                # The random draws, so the replay pass never recomputes
-                # Halton digits (its dominant cost on [N]-sized arrays).
-                rec_refs[1][bs, :] = u_nee0
-                rec_refs[2][bs, :] = u_nee1
+                rec_out_ref[bs, :] = code.astype(_I32)
             contrib = surf & ~occ
             w_c = jnp.where(contrib, gain, 0.0)
             a_r = a_r + lr * w_c * col_r
@@ -420,11 +472,12 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             a_b = a_b + lb * w_c * col_b
 
             # Cosine bounce (sampling.metal:39-66).
-            u0 = _halton_tile(ih, 2 + bounce * 5 + 2)
-            u1 = _halton_tile(ih, 2 + bounce * 5 + 3)
-            if emit_records and not records_only:
-                rec_refs[3][bs, :] = u0
-                rec_refs[4][bs, :] = u1
+            if reads_draws:
+                u0 = cos0_ref[bs, :]
+                u1 = cos1_ref[bs, :]
+            else:
+                u0 = _halton_tile(ih, 2 + bounce * 5 + 2)
+                u1 = _halton_tile(ih, 2 + bounce * 5 + 3)
             phi = _F32(2.0 * math.pi) * u0
             cth = jnp.sqrt(u1)
             sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
@@ -556,12 +609,55 @@ def _pack_inputs(scene: Scene, config: RenderConfig):
     return tri, cam_vec, light_vec, sph, atab
 
 
+def pregen_draws(config: RenderConfig, local_offsets=None, interpret=None):
+    """Pregenerate the trace kernel's random draws (camera jitter +
+    per-bounce NEE/cosine u-pairs) as tile-major planes — a pure function of
+    (config, pixel offsets), hence STEP-INVARIANT across a training or
+    benchmark loop. Pass the result to ``render_path_decoupled_fused(...,
+    draws=...)`` to hoist ~14 radical-inverse tiles per sample out of every
+    step (XLA's loop-invariant pass SINKS the pregen kernel into `lax.scan`
+    bodies to save memory, so the hoist must be explicit). Returns the
+    6-tuple (nee_u0, nee_u1, cos_u0, cos_u1, jitter_x, jitter_y)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if local_offsets is None:
+        local_offsets = pixel_rng_offsets(config)
+    n_local = local_offsets.shape[0]
+    n_padded = ((n_local + TILE - 1) // TILE) * TILE
+    offsets = jnp.pad(local_offsets,
+                      (0, n_padded - n_local)).reshape(-1, LANES)
+    s_chunk = _sample_chunk_for(config, False)
+    n_schunks = config.spp // s_chunk
+    grid = (n_padded // TILE, n_schunks)
+    nsb = config.spp * config.bounces
+    csb = s_chunk * config.bounces
+    sb_plane = jax.ShapeDtypeStruct(
+        ((n_padded // LANES) * nsb, LANES), jnp.float32)
+    s_plane = jax.ShapeDtypeStruct(
+        ((n_padded // LANES) * config.spp, LANES), jnp.float32)
+    rec_ix = lambda i, j: (i * n_schunks + j, 0)
+    sb_spec = pl.BlockSpec((RAY_SUB * csb, LANES), rec_ix,
+                           memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((RAY_SUB * s_chunk, LANES), rec_ix,
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_draws_kernel, config, s_chunk),
+        grid=grid,
+        in_specs=[pl.BlockSpec((RAY_SUB, LANES), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(sb_spec, sb_spec, sb_spec, sb_spec, s_spec, s_spec),
+        out_shape=(sb_plane, sb_plane, sb_plane, sb_plane,
+                   s_plane, s_plane),
+        interpret=interpret,
+    )(offsets)
+
+
 def _render_pallas_impl(scene: Scene, config: RenderConfig,
                         interpret=None, emit_records: bool = False,
                         raw_records: bool = False,
                         records_only: bool = False,
                         local_offsets=None, rid_base=None,
-                        flat_output: bool = False):
+                        flat_output: bool = False, draws=None):
     """Single-chip entry when local_offsets/rid_base are None; under
     shard_map, pass the shard's RNG-offset slice and its global first pixel
     id ([1, 1] i32) — outputs are then the shard's flat [local, 3] hdr.
@@ -609,6 +705,8 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
                              memory_space=pltpu.VMEM)
     out_shapes = [plane, plane, plane]
     out_spec_list = [out_specs, out_specs, out_specs]
+    draw_arrays = ()
+    draw_specs = []
     if emit_records:
         nsb = config.spp * config.bounces
         csb = s_chunk * config.bounces
@@ -620,15 +718,16 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
             ((n_padded // LANES) * config.spp, LANES), jnp.float32)
         s_spec = pl.BlockSpec((RAY_SUB * s_chunk, LANES), rec_ix,
                               memory_space=pltpu.VMEM)
-        # records, nee u0/u1, cosine u0/u1 per (sample, bounce); camera
-        # jitter u0/u1 per sample. records_only keeps just the int32 stream.
+        # records per (sample, bounce): the int32 decision stream.
+        # records_only regenerates the draws in the backward; otherwise the
+        # draws are pregenerated ONCE (step-invariant) and read as inputs.
         out_shapes += [jax.ShapeDtypeStruct(
             ((n_padded // LANES) * nsb, LANES), jnp.int32)]
         out_spec_list += [sb_spec]
         if not records_only:
-            out_shapes += [sb_plane, sb_plane, sb_plane, sb_plane,
-                           s_plane, s_plane]
-            out_spec_list += [sb_spec] * 4 + [s_spec] * 2
+            draw_arrays = tuple(draws) if draws is not None else \
+                pregen_draws(config, local_offsets, interpret)
+            draw_specs = [sb_spec] * 4 + [s_spec] * 2
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -647,11 +746,12 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
                          memory_space=pltpu.SMEM),        # spheres
             pl.BlockSpec((NATTR, num_tris + num_spheres), const_ix,
                          memory_space=pltpu.VMEM),        # one-hot fetch table
+            *draw_specs,
         ],
         out_specs=tuple(out_spec_list),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(offsets, rid_base, cam_vec, light_vec, tri, sph, atab)
+    )(offsets, rid_base, cam_vec, light_vec, tri, sph, atab, *draw_arrays)
     r, g, b = outs[:3]
     hdr = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     if flat_output:
@@ -661,10 +761,10 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     if not emit_records:
         return hdr
     if raw_records or records_only:
-        # Undecoded tile-major planes, exactly as the kernel wrote them —
+        # Undecoded tile-major planes, exactly as the kernels wrote them —
         # consumed relayout-free by the hand-written backward kernel
         # (ops/pallas_shade.py) with identical BlockSpecs.
-        return hdr, tuple(outs[3:])
+        return hdr, tuple(outs[3:]) + tuple(draw_arrays)
 
     # Decode per-(sample, bounce) planes: rows are
     # [tile, sample, bounce, RAY_SUB] x LANES; pixel id within a tile is
@@ -679,8 +779,9 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
         return jnp.moveaxis(x, 0, 1).reshape(
             config.spp, n_padded)[:, :n_local]
 
-    rec, nee0, nee1, cos0, cos1 = (sb(o) for o in outs[3:8])
-    jx, jy = (s(o) for o in outs[8:10])
+    rec, nee0, nee1, cos0, cos1 = (sb(o) for o in
+                                   (outs[3],) + tuple(draw_arrays[:4]))
+    jx, jy = (s(o) for o in draw_arrays[4:6])
     return hdr, TraceAux(records=rec, nee_u0=nee0, nee_u1=nee1,
                          cos_u0=cos0, cos_u1=cos1, jitter_x=jx, jitter_y=jy)
 

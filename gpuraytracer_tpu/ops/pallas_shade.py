@@ -15,7 +15,8 @@ entirely in VMEM and walks the three bounces in reverse, accumulating:
 
   * per-primitive cotangents (normal, plane constant, diffuse, emissive) via
     one [P, rays-tile] one-hot matmul per (sample, bounce) on the MXU —
-    HIGHEST precision, exact for one-hot operands;
+    DEFAULT precision over bf16 chunk-splits (exact fetch / <=2^-18-rel
+    accumulation at 1/6 the passes of HIGHEST; see the in-kernel comments);
   * camera cotangents (position, prescaled basis) and light cotangents
     (center, color, normal) as running [32, 128] partial-sum planes, reduced
     once per tile.
@@ -116,18 +117,40 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
     g_b = g_b_ref[...]
 
     zero = px * 0.0
+
+    # Exact ONE-PASS attribute fetch (measured: the previous x6-pass
+    # HIGHEST-precision matmuls were ~40% of the whole backward's runtime).
+    # Split the f32 table into three bf16-representable chunks (t0 = bf16(t),
+    # t1 = bf16(t - t0), t2 = t - t0 - t1 — nearby-value subtractions, so
+    # the chunks reconstruct t EXACTLY in f32), stack them along the OUTPUT
+    # row dim, and contract once at DEFAULT precision against the plain
+    # one-hot. Folding the three row blocks then sums t0+t1+t2 per winning
+    # column — exact in any order (t1+t2 has <=17 significant bits; adding
+    # t0 rounds to the original f32).
+    # The replay only CONSUMES n, c0, diffuse, is_em (+ the sphere rows) —
+    # the emissive VALUES never appear in the reverse sweep (their cotangent
+    # d_em is just a hit_light-masked g), so the three em rows are dropped
+    # from the fetch table: rows [0:7] + [10:nrows].
+    tabv = jnp.concatenate([table_ref[0:7], table_ref[10:nrows]], axis=0)
+    nfetch = nrows - 3
+    t0 = tabv.astype(jnp.bfloat16).astype(_F32)
+    r1 = tabv - t0
+    t1 = r1.astype(jnp.bfloat16).astype(_F32)
+    tab9 = jnp.concatenate([t0, t1, r1 - t1], axis=0)     # [3*nfetch, P]
     p_iota = jax.lax.broadcasted_iota(_I32, (P, TILE), 0)
 
     def fetch(pc):
-        """Attrs via one-hot matmul (exact under HIGHEST for 0/1 lhs).
-        Returns (onehot [P, TILE], nrows planes [RAY_SUB, LANES])."""
+        """Attrs via the chunk-stacked one-hot matmul (exact, see above).
+        Returns (onehot [P, TILE], nfetch planes [RAY_SUB, LANES])."""
         onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
-        at = jax.lax.dot_general(
-            table_ref[...], onehot, (((1,), (0,)), ((), ())),
+        at9 = jax.lax.dot_general(
+            tab9, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=_F32,
-            precision=jax.lax.Precision.HIGHEST)  # [nrows, TILE]
-        at = at.reshape(nrows, RAY_SUB, LANES)
-        return onehot, [at[k] for k in range(nrows)]
+            precision=jax.lax.Precision.DEFAULT)  # [3*nfetch, TILE]
+        at = (at9[:nfetch] + at9[nfetch:2 * nfetch] + at9[2 * nfetch:])
+        at = at.reshape(nfetch, RAY_SUB, LANES)
+        return onehot, [at[k] for k in range(nfetch)]
+
 
     off = off_ref[...] if recompute_rng else None
     j_chunk = pl.program_id(1)
@@ -179,8 +202,7 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
             # normal nh (sphere columns override it below).
             tnx, tny, tnz, c0 = at[0], at[1], at[2], at[3]
             df = at[4:7]
-            em3 = at[7:10]
-            is_em = at[10] > 0.5
+            is_em = at[7] > 0.5
 
             den = dx * tnx + dy * tny + dz * tnz
             ok = jnp.abs(den) >= 1e-12
@@ -193,8 +215,8 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
             if num_spheres:
                 # Analytic sphere replay (decoupled.shade_replay mirror;
                 # same op order as intersect._sphere_candidates).
-                scx, scy, scz, srad = at[11], at[12], at[13], at[14]
-                is_sph = at[15] > 0.5
+                scx, scy, scz, srad = at[8], at[9], at[10], at[11]
+                is_sph = at[12] > 0.5
                 ocx, ocy, ocz = ox - scx, oy - scy, oz - scz
                 a_q = dx * dx + dy * dy + dz * dz
                 b_q = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
@@ -277,7 +299,7 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
 
             res.append(dict(
                 onehot=onehot, tn=(tnx, tny, tnz),
-                nh=(nhx, nhy, nhz), df=df, em3=em3,
+                nh=(nhx, nhy, nhz), df=df,
                 ok=ok, sden=sden, tt=tt, ts=ts,
                 o=(ox, oy, oz), d=(dx, dy, dz),
                 surf=surf, hit_light=hit_light, contrib=contrib,
@@ -545,11 +567,28 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
                 rows += [d_sc[0], d_sc[1], d_sc[2], d_srad]
             planes = jnp.stack(rows, axis=0)  # [ntab, 32, 128]
             planes = planes.reshape(ntab, TILE)
+            # Same chunk-split trick as the fetch, on the cotangent side:
+            # split the planes into three bf16 chunks, stacked along the
+            # OUTPUT dim (no one-hot replication needed — the same [P, TILE]
+            # one-hot contracts all three chunk blocks), then fold the three
+            # [P, ntab] column blocks. Exact products + f32 accumulation:
+            # HIGHEST-equivalent accuracy at 1/2 the MXU passes.
+            # Cotangent accumulation, chunk-split like the fetch but with
+            # TWO chunks: hi = bf16(planes) (exact product) + the residual,
+            # which DEFAULT's own bf16 rounding truncates to 8 more mantissa
+            # bits. Per-partial relative error <= 2^-18 ~ 4e-6 on TPU — two
+            # decades inside the grad-parity tolerance (rtol 1e-4), and the
+            # oracle's own scatter-add order differs at that scale anyway.
+            # (Interpret/CPU mode multiplies in f32, where hi + residual is
+            # EXACT.) The fetch stays 3-chunk-exact so no replay value or
+            # clip-gate decision ever moves.
+            p0 = planes.astype(jnp.bfloat16).astype(_F32)
+            planes6 = jnp.concatenate([p0, planes - p0], axis=0)
             part = jax.lax.dot_general(
-                r["onehot"], planes, (((1,), (1,)), ((), ())),
+                r["onehot"], planes6, (((1,), (1,)), ((), ())),
                 preferred_element_type=_F32,
-                precision=jax.lax.Precision.HIGHEST)  # [P, ntab]
-            dtab_acc = dtab_acc + part
+                precision=jax.lax.Precision.DEFAULT)  # [P, 2*ntab]
+            dtab_acc = dtab_acc + (part[:, :ntab] + part[:, ntab:])
 
         # Camera reverse (bounce-0 entry o/d are the camera ray).
         d_pos[0] += d_o[0]
@@ -778,12 +817,17 @@ def _auto_records_only(config: RenderConfig, n_pixels=None) -> bool:
 
 
 def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
-                                interpret=None,
-                                records_only=None) -> jnp.ndarray:
+                                interpret=None, records_only=None,
+                                draws=None) -> jnp.ndarray:
     """Variant-B differentiable render at megakernel forward speed: the
     trace kernel's hdr with the hand-written backward attached. Handles
     triangle and sphere scenes (the backward replays the analytic sphere
-    quadratic — interior gradients identical to oracle AD)."""
+    quadratic — interior gradients identical to oracle AD).
+
+    ``draws``: optional ``pallas_path.pregen_draws(config)`` result. The
+    draws are step-invariant; pass them from OUTSIDE a training/bench loop
+    to hoist their generation out of every step (XLA sinks, not hoists, the
+    pregen kernel when left inside a scan body)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if records_only is None:
@@ -791,7 +835,7 @@ def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
     hdr, aux = _render_pallas_impl(jax.lax.stop_gradient(scene), config,
                                    interpret=interpret, emit_records=True,
                                    raw_records=True,
-                                   records_only=records_only)
+                                   records_only=records_only, draws=draws)
     table, cam_vec, light_vec = _pack_diff_inputs(scene, config)
     from ..render import pixel_rng_offsets
     offsets = pixel_rng_offsets(config) if records_only else None
@@ -801,7 +845,7 @@ def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
 
 def render_path_fused_local(scene: Scene, config: RenderConfig,
                             local_offsets, rid_base, interpret=None,
-                            records_only=None):
+                            records_only=None, draws=None):
     """Shard-local fused render for use inside ``shard_map`` (see
     parallel/fast.py): renders the pixels [rid_base, rid_base + len(offsets))
     and returns flat [local, 3] hdr with the hand-written backward attached.
@@ -816,7 +860,8 @@ def render_path_fused_local(scene: Scene, config: RenderConfig,
                                    raw_records=True,
                                    records_only=records_only,
                                    local_offsets=local_offsets,
-                                   rid_base=rid_base, flat_output=True)
+                                   rid_base=rid_base, flat_output=True,
+                                   draws=draws)
     table, cam_vec, light_vec = _pack_diff_inputs(scene, config)
     offsets = local_offsets if records_only else None
     return _attach_grad(config, interpret, hdr, table, cam_vec, light_vec,

@@ -28,7 +28,8 @@ from .mesh import RAY_AXIS
 
 
 def render_path_fused_sharded(scene: Scene, config: RenderConfig, mesh,
-                              interpret=None) -> jnp.ndarray:
+                              interpret=None,
+                              records_only=None) -> jnp.ndarray:
     """Differentiable variant-B render, pixels sharded over ``rays``, on the
     trace kernel + hand-written backward. Returns the global [H, W, 3] hdr.
 
@@ -59,7 +60,8 @@ def render_path_fused_sharded(scene: Scene, config: RenderConfig, mesh,
         k = jax.lax.axis_index(RAY_AXIS)
         rid_base = (k * local).astype(jnp.int32).reshape(1, 1)
         return render_path_fused_local(scene_, config, offsets_, rid_base,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       records_only=records_only)
 
     # Under jit + an active mesh context the partitioner stitches the
     # pallas_call outputs' shard layouts; eager shard_map trips over the
@@ -79,9 +81,19 @@ def make_overlapped_grad_fn(scene_template: Scene, config: RenderConfig,
     — ICI sits idle until every microtile's cotangents exist. Here each
     shard splits its pixel slice into ``n_microtiles`` chunks and runs the
     full fwd+bwd per chunk, psum'ing that chunk's parameter cotangents
-    immediately; XLA's async collectives let chunk k's all-reduce ride ICI
-    while chunk k+1's backward is still computing. Gradient sums are
-    mathematically identical to the single-psum design (fp order differs).
+    immediately, so XLA's async collectives COULD ride ICI while chunk
+    k+1's backward is still computing. Gradient sums are mathematically
+    identical to the single-psum design (fp order differs).
+
+    Measured schedule (benchmarks/overlap_evidence.py, AOT-compiled for a
+    v5e:2x4 topology): XLA's AllReduceCombiner merges the per-microtile
+    psums back into ONE end-of-step tuple all-reduce — at Cornell-box
+    parameter counts (~2 KB of gradients) the collective is latency-bound
+    and the combiner's choice is optimal, so this path currently compiles
+    to the same schedule as the plain one. The microtile structure is kept
+    for when parameter counts grow (it becomes load-bearing once gradient
+    bytes rival ICI latency x bandwidth; re-run the evidence script after
+    any such change — see BASELINE.md "overlap evidence").
 
     Returns ``grad_fn(scene, target) -> (loss, grads)`` where loss is the
     global image MSE and grads is a scene-pytree cotangent (int leaves

@@ -182,6 +182,14 @@ def mis_sample_table_rows(mis_samples: int,
     return jnp.concatenate([r.T for r in rows], axis=0)  # [10, S]
 
 
+def shift_random_points(u: jnp.ndarray) -> jnp.ndarray:
+    """Toroidal doubling shift: 2u mod 1 per component
+    (shiftRandomPoints, shaders.metal:87-98 — unused by the reference's
+    active kernels; implemented for library parity). ``u`` is [..., 2]."""
+    r = jnp.asarray(u, _F32) * 2.0
+    return jnp.where(r >= 1.0, r - 1.0, r)
+
+
 def radical_inverse_2(bits: jnp.ndarray) -> jnp.ndarray:
     """Base-2 Van der Corput via bit reversal (shaders.metal:101-108)."""
     b = jnp.asarray(bits).astype(_U32)

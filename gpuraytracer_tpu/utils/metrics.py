@@ -76,3 +76,98 @@ def profiler_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+# ---------------------------------------------------------------------------
+# Roofline / "speed-of-light" model (BASELINE's bar is speed-of-light per
+# chip; Mrays/s alone is self-referential — this model says what fraction of
+# the hardware-bound limit a measured time achieves).
+# ---------------------------------------------------------------------------
+
+# TPU v5e (public figures): 197 bf16 TFLOPS = 4 MXUs x 128x128 MACs x 2
+# flops at ~1.5 GHz; VPU issues ~4 x (8x128) f32 lanes/cycle; 819 GB/s HBM.
+V5E = {
+    "clock_hz": 1.5e9,
+    "vpu_f32_per_cycle": 4 * 8 * 128,
+    "hbm_bytes_per_s": 819e9,
+}
+
+# VPU op counts per primitive test, counted from the kernel source
+# (ops/pallas_path.py::closest / occluded_q; one count = one elementwise op
+# on a ray tile — mul/add/cmp/select each count 1, div/sqrt/transcendental
+# also 1, i.e. an optimistic lower bound):
+#   closest-hit per triangle: den(5) num(6) guard(4) tt(1) u(13) v(13)
+#     accept-mask(12) min-carry(2)                         = 56
+#   shadow any-hit per triangle: same minus min-carry/tmax = 46
+#   closest per sphere: quadratic(20) roots(6) accept(10)  = 36
+#   per-bounce shading (NEE + cosine bounce + masks)       ~ 230
+#   Halton draw (f32-digit radical inverse), per dim       ~ 55
+_TRI_CLOSEST = 56
+_TRI_SHADOW = 46
+_SPH = 36
+_SHADE = 230
+_HALTON = 55
+
+
+def roofline_path_fwd(config: RenderConfig, num_tris: int = 36,
+                      num_spheres: int = 0, in_kernel_rng: bool = True,
+                      chip: dict = V5E) -> dict:
+    """Compute-bound (VPU) and bandwidth-bound time floors for the variant-B
+    trace kernel, and helpers to report achieved-vs-roofline. The kernel is
+    elementwise-dominated (the one-hot MXU fetches are a rounding error next
+    to the 36-primitive intersection loops), so the VPU term governs."""
+    per_bounce = (num_tris * (_TRI_CLOSEST + _TRI_SHADOW)
+                  + num_spheres * 2 * _SPH + _SHADE)
+    if in_kernel_rng:
+        per_bounce += 4 * _HALTON          # NEE + cosine u-pairs
+    per_sample = config.bounces * per_bounce + (2 * _HALTON + 40)  # camera
+    total_ops = config.num_pixels * config.spp * per_sample
+    t_vpu = total_ops / (chip["clock_hz"] * chip["vpu_f32_per_cycle"])
+    # HBM: offsets in + hdr out (record/draw streams excluded — fwd-only).
+    traffic = config.num_pixels * (4 + 3 * 4)
+    t_hbm = traffic / chip["hbm_bytes_per_s"]
+    return {"t_vpu_s": t_vpu, "t_hbm_s": t_hbm,
+            "t_floor_s": max(t_vpu, t_hbm), "vpu_ops": total_ops}
+
+
+def roofline_path_bwd(config: RenderConfig, num_tris: int = 36,
+                      num_spheres: int = 0, recompute_rng: bool = False,
+                      chip: dict = V5E) -> dict:
+    """Floor for the hand-written backward (ops/pallas_shade.py): no
+    intersection loops (records replay the decisions); forward-shade
+    recompute + reverse sweep ~ 3x the shading op count, plus the record/
+    draw-plane reads and chunked one-hot matmul traffic."""
+    per_bounce = 3 * _SHADE + (4 * _HALTON if recompute_rng else 0)
+    per_sample = config.bounces * per_bounce + 120  # camera gen + reverse
+    total_ops = config.num_pixels * config.spp * per_sample
+    t_vpu = total_ops / (chip["clock_hz"] * chip["vpu_f32_per_cycle"])
+    nsb = config.num_pixels * config.spp * config.bounces
+    traffic = nsb * 4                                  # records
+    if not recompute_rng:
+        traffic += nsb * 4 * 4 + config.num_pixels * config.spp * 2 * 4
+    t_hbm = traffic / chip["hbm_bytes_per_s"]
+    return {"t_vpu_s": t_vpu, "t_hbm_s": t_hbm,
+            "t_floor_s": max(t_vpu, t_hbm), "vpu_ops": total_ops}
+
+
+def roofline_mis_fwd(config: RenderConfig, num_tris: int = 34,
+                     num_spheres: int = 0, chip: dict = V5E) -> dict:
+    """Floor for the variant-A MIS megakernel: per (camera ray, sample) the
+    kernel runs 1 light probe + 2 closest-hits + 2 secondary probes over
+    all primitives, plus ~3x the BRDF/pdf math of a path bounce."""
+    probes = 3 * (num_tris * _TRI_SHADOW + num_spheres * _SPH)
+    closest = 2 * (num_tris * _TRI_CLOSEST + num_spheres * _SPH)
+    per_sample = probes + closest + 3 * _SHADE
+    cam_trace = num_tris * _TRI_CLOSEST + num_spheres * _SPH + 100
+    total_ops = (config.num_pixels * config.camera_rays
+                 * (cam_trace + (config.mis_samples // 3) * per_sample))
+    t_vpu = total_ops / (chip["clock_hz"] * chip["vpu_f32_per_cycle"])
+    traffic = config.num_pixels * (4 + 3 * 4)
+    t_hbm = traffic / chip["hbm_bytes_per_s"]
+    return {"t_vpu_s": t_vpu, "t_hbm_s": t_hbm,
+            "t_floor_s": max(t_vpu, t_hbm), "vpu_ops": total_ops}
+
+
+def roofline_pct(measured_s: float, model: dict) -> float:
+    """Achieved fraction of the modeled hardware floor, in percent."""
+    return 100.0 * model["t_floor_s"] / measured_s

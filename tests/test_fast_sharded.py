@@ -36,6 +36,7 @@ def test_sharded_fused_matches_single_chip(scene, mesh):
     np.testing.assert_allclose(sharded, single, atol=1e-7, rtol=1e-6)
 
 
+@pytest.mark.smoke
 def test_sharded_fused_grads_match_single_chip(scene, mesh):
     g_s = jax.grad(lambda s: jnp.mean(render_path_fused_sharded(s, _CFG, mesh)),
                    allow_int=True)(scene)
@@ -91,3 +92,32 @@ def test_overlapped_grad_matches_plain_fused():
         if hasattr(a, "dtype") and a.dtype == jnp.float32:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6, rtol=1e-4)
+
+
+def test_sharded_records_only_config5_shape(scene, mesh):
+    """BASELINE config 5 end-to-end shape: the records-only (recompute-RNG)
+    fused step THROUGH render_path_fused_sharded — sharded tiles + grad
+    all-reduce in one code path. CPU-feasible stand-in for 1024^2 x 256 spp:
+    same code, reduced extent; records_only forced as the full-scale config
+    would auto-select it. Values and grads must equal the single-device
+    plane-mode run."""
+    from gpuraytracer_tpu.ops.pallas_shade import render_path_decoupled_fused
+
+    out_sh = np.asarray(jax.jit(
+        lambda s: render_path_fused_sharded(s, _CFG, mesh,
+                                            records_only=True))(scene))
+    out_one = np.asarray(render_path_decoupled_fused(scene, _CFG,
+                                                     records_only=False))
+    # records_only regenerates the draws in-kernel while plane mode reads
+    # the pregen planes — separately compiled arithmetic, ~1 ulp apart
+    # (decisions stay bit-equal; see test_pallas_shade records_only tests).
+    np.testing.assert_allclose(out_sh, out_one, atol=5e-8, rtol=1e-6)
+
+    g_sh = jax.grad(lambda s: jnp.mean(render_path_fused_sharded(
+        s, _CFG, mesh, records_only=True)), allow_int=True)(scene)
+    g_one = jax.grad(lambda s: jnp.mean(render_path_decoupled_fused(
+        s, _CFG, records_only=False)), allow_int=True)(scene)
+    for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_one)):
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 and a.size:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, rtol=1e-5)

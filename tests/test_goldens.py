@@ -22,6 +22,7 @@ def _load(name):
     return np.load(path)
 
 
+@pytest.mark.smoke
 def test_config1_full_image_golden():
     """BASELINE config 1: Cornell 256^2, 1 spp, direct lighting only —
     full-image allclose against the committed golden."""

@@ -165,3 +165,33 @@ def test_fast_pixel_loss_grads_match_oracle(sphere_scene):
     for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_orc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-4)
+
+
+def test_inverse_rendering_fast_loop_converges(sphere_scene):
+    """BASELINE config 4's optax loop on the FUSED kernel path
+    (inverse_render(..., fast=True)): recover a light-emission scale from a
+    target image at kernel speed."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+    from gpuraytracer_tpu.grad.inverse import (extract_params, inverse_render,
+                                               render_hdr)
+    from gpuraytracer_tpu.types import RenderConfig
+
+    cfg = RenderConfig(width=32, height=16, integrator="path", spp=1,
+                       bounces=2, pixel_chunk=512)
+    scene32 = dataclasses.replace(
+        sphere_scene,
+        camera=dataclasses.replace(sphere_scene.camera, resolution=(32, 16)))
+    true_params = extract_params(scene32)
+    target = render_hdr(scene32, cfg)
+    init = true_params._replace(
+        light_emission=true_params.light_emission * 0.4)
+    res = inverse_render(scene32, target, init, cfg, steps=40,
+                         learning_rate=5e-2, fast=True)
+    losses = np.asarray(res.losses)
+    assert losses[-1] < losses[0] * 0.2
+    np.testing.assert_allclose(np.asarray(res.params.light_emission),
+                               np.asarray(true_params.light_emission),
+                               rtol=0.15)

@@ -32,6 +32,7 @@ def grads(scene):
     return g_f, g_o
 
 
+@pytest.mark.smoke
 def test_mis_fused_value_matches_oracle(scene):
     out = np.asarray(render_mis_fused(scene, _CFG))
     oracle = np.asarray(render_mis(scene, _CFG).hdr)
@@ -57,23 +58,46 @@ def test_mis_fused_grads_match_oracle(grads, group):
     np.testing.assert_allclose(a, b, atol=1e-5 * max(scale, 1.0), rtol=2e-4)
 
 
-def test_mis_fused_rejects_sphere_scenes():
-    s = cornell_box_with_spheres(resolution=(16, 8))
-    with pytest.raises(ValueError):
-        render_mis_fused(s, _CFG)
+@pytest.fixture(scope="module")
+def sphere_scene():
+    return cornell_box_with_spheres(resolution=(16, 8))
 
 
-def test_mis_decoupled_sphere_fallback_differentiable():
-    """Sphere MIS scenes dispatch to the oracle-VJP kernel: value == oracle,
-    grads == oracle AD (by construction, but exercise the path)."""
-    s = cornell_box_with_spheres(resolution=(16, 8))
-    out = np.asarray(render_mis_decoupled(s, _CFG))
-    oracle = np.asarray(render_mis(s, _CFG).hdr)
+@pytest.fixture(scope="module")
+def sphere_grads(sphere_scene):
+    g_f = jax.grad(lambda s: jnp.mean(render_mis_fused(s, _CFG)),
+                   allow_int=True)(sphere_scene)
+    g_o = jax.grad(lambda s: jnp.mean(render_mis(s, _CFG).hdr),
+                   allow_int=True)(sphere_scene)
+    return g_f, g_o
+
+
+@pytest.mark.smoke
+def test_mis_fused_sphere_value_matches_oracle(sphere_scene):
+    out = np.asarray(render_mis_fused(sphere_scene, _CFG))
+    oracle = np.asarray(render_mis(sphere_scene, _CFG).hdr)
     np.testing.assert_allclose(out, oracle, atol=5e-4, rtol=1e-3)
-    g = jax.grad(
-        lambda c: jnp.mean(render_mis_decoupled(
-            __import__("dataclasses").replace(
-                s, spheres=__import__("dataclasses").replace(s.spheres,
-                                                             center=c)),
-            _CFG)))(s.spheres.center)
-    assert np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.mark.parametrize("group", [
+    "spheres.center", "spheres.radius", "spheres.diffuse",
+    "triangles.verts", "triangles.diffuse",
+    "light.emitted_radiance", "light.center", "camera.position",
+])
+def test_mis_fused_sphere_grads_match_oracle(sphere_grads, group):
+    g_f, g_o = sphere_grads
+    obj_f, obj_o = g_f, g_o
+    for part in group.split("."):
+        obj_f = getattr(obj_f, part)
+        obj_o = getattr(obj_o, part)
+    a, b = np.asarray(obj_f), np.asarray(obj_o)
+    assert np.abs(b).max() > 0.0, f"oracle grad for {group} is all-zero"
+    scale = np.abs(b).max()
+    np.testing.assert_allclose(a, b, atol=1e-5 * max(scale, 1.0), rtol=2e-4)
+
+
+def test_mis_decoupled_routes_sphere_scenes_fused(sphere_scene):
+    """render_mis_decoupled is the fused path for every scene type now."""
+    out = np.asarray(render_mis_decoupled(sphere_scene, _CFG))
+    oracle = np.asarray(render_mis(sphere_scene, _CFG).hdr)
+    np.testing.assert_allclose(out, oracle, atol=5e-4, rtol=1e-3)

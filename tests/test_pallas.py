@@ -25,6 +25,7 @@ def _cfg(**kw):
     return RenderConfig(**base)
 
 
+@pytest.mark.smoke
 def test_kernel_matches_jnp_oracle(scene):
     cfg = _cfg()
     oracle = np.asarray(render(scene, cfg).hdr)
@@ -96,6 +97,7 @@ def _mis_cfg(**kw):
     return RenderConfig(**base)
 
 
+@pytest.mark.smoke
 def test_mis_kernel_matches_jnp_oracle(scene):
     cfg = _mis_cfg()
     oracle = np.asarray(render_mis(scene, cfg).hdr)

@@ -290,3 +290,16 @@ def test_hash_random_2d_deterministic():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     u = np.asarray(a)
     assert np.all(u >= 0) and np.all(u < 1)
+
+
+def test_shift_random_points_wraps():
+    """2u mod 1 per component (shiftRandomPoints, shaders.metal:87-98)."""
+    u = jnp.array([[0.1, 0.6], [0.5, 0.49999997], [0.0, 0.75]])
+    out = np.asarray(smp.shift_random_points(u))
+    np.testing.assert_allclose(out, [[0.2, 0.2], [0.0, 0.99999994],
+                                     [0.0, 0.5]], atol=1e-7)
+    assert np.all(out >= 0.0) and np.all(out < 1.0)
+    # property: doubling preserves uniformity bounds on a dense grid
+    g = jnp.stack([jnp.linspace(0, 0.999, 64)] * 2, axis=-1)
+    og = np.asarray(smp.shift_random_points(g))
+    assert og.min() >= 0.0 and og.max() < 1.0

@@ -90,3 +90,47 @@ def test_fetch_helper(scene):
     tree = {"a": x, "b": jnp.ones(2)}
     out = fetch_tree(tree)
     assert isinstance(out["a"], np.ndarray)
+
+
+def test_debug_checks_restores_config():
+    import jax
+    from gpuraytracer_tpu.utils.debug import debug_checks
+    import jax.numpy as jnp
+    assert not jax.config.jax_debug_nans
+    with debug_checks(nans=True, infs=True):
+        assert jax.config.jax_debug_nans
+        assert jax.config.jax_debug_infs
+        # a clean computation passes under the checks
+        assert float(jnp.sum(jnp.ones(4))) == 4.0
+    assert not jax.config.jax_debug_nans
+    assert not jax.config.jax_debug_infs
+
+
+def test_debug_checks_catches_nan():
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from gpuraytracer_tpu.utils.debug import debug_checks
+    with debug_checks(nans=True):
+        with _pytest.raises(FloatingPointError):
+            float(jnp.log(jnp.zeros(2) - 1.0).sum())
+
+
+def test_roofline_model_sane():
+    from gpuraytracer_tpu.utils.metrics import (
+        roofline_mis_fwd, roofline_path_bwd, roofline_path_fwd, roofline_pct)
+    c = _cfg()
+    fwd = roofline_path_fwd(c)
+    bwd = roofline_path_bwd(c)
+    assert 0 < fwd["t_floor_s"] < 1.0
+    assert bwd["t_floor_s"] < fwd["t_floor_s"]  # no intersection loops
+    # achieved% is monotone in measured time and <=100 at the floor
+    assert roofline_pct(fwd["t_floor_s"], fwd) == _pytest_approx(100.0)
+    assert roofline_pct(2 * fwd["t_floor_s"], fwd) == _pytest_approx(50.0)
+    mis = roofline_mis_fwd(RenderConfig(width=64, height=64,
+                                        integrator="mis", camera_rays=2,
+                                        mis_samples=30))
+    assert mis["t_vpu_s"] > mis["t_hbm_s"]  # elementwise-dominated
+
+
+def _pytest_approx(x):
+    return pytest.approx(x, rel=1e-6)
