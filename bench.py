@@ -70,14 +70,20 @@ def main() -> None:
         # loop — the same amortization every training/bench step of the real
         # inverse-rendering workload gets. The perturbation chain still
         # re-runs the full trace + backward every step.
+        from gpuraytracer_tpu.intersect import potential_occluders
         from gpuraytracer_tpu.ops import render_path_decoupled
         from gpuraytracer_tpu.ops.pallas_path import pregen_draws
 
         draws = jax.block_until_ready(jax.jit(
             lambda: pregen_draws(config))())
+        # Static shadow-probe culling (hull walls can never occlude an NEE
+        # segment); computed once on the concrete scene, decisions
+        # bit-identical to the full loop.
+        occluders = potential_occluders(scene, config)
 
         def forward(s):
-            return render_path_decoupled(s, config, draws=draws)
+            return render_path_decoupled(s, config, draws=draws,
+                                         occluders=occluders)
     except Exception:
         def forward(s):
             return render(s, config).hdr
@@ -145,11 +151,15 @@ def _bench_mis(scene) -> None:
     from gpuraytracer_tpu.ops.pallas_mis_bwd import render_mis_fused
     from gpuraytracer_tpu.types import RenderConfig
 
+    from gpuraytracer_tpu.intersect import potential_occluders
+
     cam_rays, mis_samples = 6, 300
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, integrator="mis",
                        camera_rays=cam_rays, mis_samples=mis_samples)
-    vg = jax.value_and_grad(lambda s: jnp.mean(render_mis_fused(s, cfg)),
-                            allow_int=True)
+    occluders = potential_occluders(scene, cfg)
+    vg = jax.value_and_grad(
+        lambda s: jnp.mean(render_mis_fused(s, cfg, occluders=occluders)),
+        allow_int=True)
 
     def step(s, eps):
         light = dataclasses.replace(

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 def main():
     sys.path.insert(0, ".")
+    from gpuraytracer_tpu.intersect import potential_occluders
     from gpuraytracer_tpu.ops.pallas_mis import render_mis_pallas
     from gpuraytracer_tpu.ops.pallas_mis_bwd import render_mis_fused
     from gpuraytracer_tpu.scene import cornell_box
@@ -27,9 +28,10 @@ def main():
     for ms in samples:
         cfg = RenderConfig(width=W, height=H, integrator="mis",
                            camera_rays=6, mis_samples=ms)
+        occ = potential_occluders(scene, cfg)
 
         def loss(s):
-            return jnp.mean(render_mis_fused(s, cfg))
+            return jnp.mean(render_mis_fused(s, cfg, occluders=occ))
 
         vg = jax.value_and_grad(loss, allow_int=True)
 

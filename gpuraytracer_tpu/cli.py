@@ -93,18 +93,24 @@ def main(argv=None) -> int:
             hdr = jax.block_until_ready(render_path_pallas(scene, cfg))
             out = None
     elif args.kernel == "decoupled":
+        # Static shadow-probe culling — scene is concrete here; decisions
+        # are bit-identical to the full loop (intersect.potential_occluders).
+        from .intersect import potential_occluders
+        occ = potential_occluders(scene, config)
         if args.integrator == "mis":
             # Fused MIS: trace-kernel forward + record-replay Pallas
             # backward (the repo's fastest differentiable variant-A path).
             from .ops.pallas_mis_bwd import render_mis_decoupled
-            acc = jax.block_until_ready(render_mis_decoupled(scene, config))
+            acc = jax.block_until_ready(
+                render_mis_decoupled(scene, config, occluders=occ))
             hdr, out = acc, tonemap_mis(acc, config.camera_rays,
                                         scene.camera.ev100)
         else:
             from .ops import render_path_decoupled
             cfg = (config.replace(bounces=1)
                    if args.integrator == "direct" else config)
-            hdr = jax.block_until_ready(render_path_decoupled(scene, cfg))
+            hdr = jax.block_until_ready(
+                render_path_decoupled(scene, cfg, occluders=occ))
             out = None
     else:
         result = jax.block_until_ready(render_jit(scene, config))

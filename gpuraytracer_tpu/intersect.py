@@ -261,3 +261,71 @@ def any_hit(
         _, valid_s = _sphere_candidates(spheres, origin, direction, t_min, t_max)
         occluded = occluded | jnp.any(valid_s, axis=-1)
     return occluded
+
+
+def potential_occluders(scene, config=None, tol_scale: float = 1e-4):
+    """Static shadow-probe culling mask: ``mask[t]`` is False when triangle
+    t provably CANNOT occlude any segment between a scene surface point and
+    an area-light sample point, because every such endpoint lies in one
+    closed half-space of t's plane (a segment with both endpoints on one
+    side of a plane never crosses it; endpoint-grazing hits fall outside the
+    probes' open t-window). In the Cornell box this culls the 10 convex-hull
+    wall triangles and the 2 light-panel triangles from every NEE/visibility
+    probe — ~1/3 of the kernels' shadow-loop work — while the box and sphere
+    primitives (whose planes cut through the scene) are kept.
+
+    Runs EAGERLY on host numpy — call it once per concrete scene and pass
+    the resulting tuple to the render entry points (like
+    ``pallas_path.pregen_draws``); it cannot be computed under jit tracing.
+    The mask is tied to the scene geometry it was computed from: rebuild it
+    if triangle/sphere/light geometry moves by more than ``tol_scale`` times
+    the scene scale. Endpoint set covered: every triangle vertex, every
+    sphere's center +- radius along each plane normal, the light quad
+    corners (true frame) AND the variant-B hardcoded half-extent square
+    (sampling.metal:208-213 quirk). Returns a tuple of bools, True = keep
+    in the shadow loop. Reference behavior being preserved: the occlusion
+    tests of RTrace/raytrace.metal:79-85 / shaders.metal:519-541 (decisions
+    are bit-identical — culled triangles could never flip them)."""
+    import numpy as np
+
+    verts = np.asarray(scene.triangles.verts, np.float64)  # [T, 3, 3]
+    T = verts.shape[0]
+    v0 = verts[:, 0]
+    n = np.cross(verts[:, 1] - v0, verts[:, 2] - v0)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / np.maximum(norm, 1e-30)
+    c0 = np.sum(n * v0, axis=-1)  # [T]
+
+    pts = [verts.reshape(-1, 3)]
+    light = scene.light
+    lc = np.asarray(light.center, np.float64)
+    ln = np.asarray(light.normal, np.float64)
+    # True light frame corners.
+    from .sampling import build_orthonormal_basis
+    lt, lb = (np.asarray(x, np.float64)
+              for x in build_orthonormal_basis(jnp.asarray(ln, jnp.float32)))
+    w2 = float(light.width) / 2.0
+    d2 = float(light.depth) / 2.0
+    for sx in (-1.0, 1.0):
+        for sy in (-1.0, 1.0):
+            pts.append((lc + sx * w2 * lt + sy * d2 * lb)[None])
+    # Variant-B hardcoded half-extent square (x/z frame).
+    he = float(config.area_light_half_extent) if config is not None else 0.25
+    for sx in (-1.0, 1.0):
+        for sy in (-1.0, 1.0):
+            pts.append((lc + np.array([sx * he, 0.0, sy * he]))[None])
+    pts = np.concatenate(pts, axis=0)  # [P, 3]
+
+    d = pts @ n.T - c0[None, :]  # [P, T] signed distances
+    scale = max(1.0, np.abs(pts).max())
+    tol = tol_scale * scale
+    below = np.all(d <= tol, axis=0)
+    above = np.all(d >= -tol, axis=0)
+    sp = scene.spheres
+    if sp.num_spheres:
+        c = np.asarray(sp.center, np.float64)   # [S, 3]
+        r = np.asarray(sp.radius, np.float64)   # [S]
+        ds = c @ n.T - c0[None, :]              # [S, T]
+        below &= np.all(ds + r[:, None] <= tol, axis=0)
+        above &= np.all(ds - r[:, None] >= -tol, axis=0)
+    return tuple(bool(x) for x in ~(below | above))

@@ -326,7 +326,7 @@ def shade_replay(scene: Scene, aux: TraceAux,
 
 
 def render_path_decoupled(scene: Scene, config: RenderConfig,
-                          draws=None) -> jnp.ndarray:
+                          draws=None, occluders=None) -> jnp.ndarray:
     """Fast differentiable variant-B render. Value matches the
     megakernel/oracle; gradients match jax.grad of the oracle.
 
@@ -338,4 +338,5 @@ def render_path_decoupled(scene: Scene, config: RenderConfig,
     ``pallas_path.pregen_draws(config)`` planes — pass from outside a
     training loop to amortize their generation."""
     from .pallas_shade import render_path_decoupled_fused
-    return render_path_decoupled_fused(scene, config, draws=draws)
+    return render_path_decoupled_fused(scene, config, draws=draws,
+                                       occluders=occluders)

@@ -197,7 +197,7 @@ def _power_heuristic_3(p1, p2, p3, n):
 
 
 def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
-                num_spheres: int, emit_records: bool,
+                num_spheres: int, emit_records: bool, occluders,
                 offsets_unused, cam_ref, light_ref, tri_ref, sph_ref,
                 tab_ref, atab_ref, out_r_ref, out_g_ref, out_b_ref,
                 *rec_refs):
@@ -328,9 +328,13 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         """No occluder strictly short of the light-sample distance — the
         well-conditioned form of the reference's closest-hit-is-emissive
         probe (shaders.metal:519-541; see render._direct_light_contribution
-        for why). Single running tile."""
+        for why). Single running tile. ``occluders`` statically culls
+        triangles that provably cannot block a surface->light segment
+        (intersect.potential_occluders); decisions are bit-identical."""
         occ = jnp.zeros((RAY_SUB, LANES), bool)
-        for tri in tris:
+        probe_tris = (tris if occluders is None else
+                      [t for i, t in enumerate(tris) if occluders[i]])
+        for tri in probe_tris:
             nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2 = tri[:12]
             den = dx * nx + dy * ny + dz * nz
             num = c0 - (ox * nx + oy * ny + oz * nz)
@@ -676,7 +680,7 @@ def _pack_inputs(scene: Scene, config: RenderConfig):
 
 
 def _render_mis_impl(scene: Scene, config: RenderConfig, interpret=None,
-                     emit_records: bool = False):
+                     emit_records: bool = False, occluders=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_pixels = config.num_pixels
@@ -691,8 +695,11 @@ def _render_mis_impl(scene: Scene, config: RenderConfig, interpret=None,
     # with pallas_path's layout conventions.
     dummy = jnp.zeros((n_padded // LANES, LANES), _F32)
 
+    if occluders is not None:
+        assert len(occluders) == num_tris, (len(occluders), num_tris)
+        occluders = tuple(bool(x) for x in occluders)
     kernel = partial(_mis_kernel, config, n_pixels, num_tris, num_spheres,
-                     emit_records)
+                     emit_records, occluders)
     plane = jax.ShapeDtypeStruct((n_padded // LANES, LANES), _F32)
     s_per = config.mis_samples // 3
     cr_n = config.camera_rays

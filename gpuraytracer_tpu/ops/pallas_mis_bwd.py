@@ -619,24 +619,28 @@ def _sample_tables(config: RenderConfig):
 
 
 def render_mis_fused(scene: Scene, config: RenderConfig,
-                     interpret=None) -> jnp.ndarray:
+                     interpret=None, occluders=None) -> jnp.ndarray:
     """Variant-A differentiable MIS render at megakernel speed: the trace
     kernel's hdr with the record-replay Pallas backward attached. Handles
     triangle and sphere scenes (sphere lanes replay the analytic quadratic
     inside the in-kernel vjp — center/radius gradients at kernel speed).
-    Returns [H, W, 3] raw accumulated HDR."""
+    Returns [H, W, 3] raw accumulated HDR. ``occluders``: optional
+    ``intersect.potential_occluders(scene, config)`` static tuple culling
+    provably-non-occluding triangles from the light probes."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     hdr, recs = _render_mis_impl(jax.lax.stop_gradient(scene), config,
-                                 interpret=interpret, emit_records=True)
+                                 interpret=interpret, emit_records=True,
+                                 occluders=occluders)
     tab, cam_vec, light_vec = _pack_diff_inputs_mis(scene, config)
     stab = _sample_tables(config)
     return _attach_grad_mis(config, interpret, hdr, tab, cam_vec, light_vec,
                             stab, tuple(recs))
 
 
-def render_mis_decoupled(scene: Scene, config: RenderConfig) -> jnp.ndarray:
+def render_mis_decoupled(scene: Scene, config: RenderConfig,
+                         occluders=None) -> jnp.ndarray:
     """Fast differentiable variant-A render: the trace kernel forward with
     the record-replay Pallas backward, for every scene type. Value matches
     the megakernel/oracle; gradients match jax.grad of the oracle."""
-    return render_mis_fused(scene, config)
+    return render_mis_fused(scene, config, occluders=occluders)

@@ -207,7 +207,7 @@ def _draws_kernel(config: RenderConfig, s_chunk: int,
 
 def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                  num_spheres: int, emit_records: bool, records_only: bool,
-                 s_chunk: int,
+                 s_chunk: int, occluders,
                  offsets_ref, rid_base_ref, cam_ref, light_ref, tri_ref,
                  sph_ref, atab_ref, *rest):
     """One [RAY_SUB, 128] tile of rays: full spp x bounces path trace.
@@ -345,9 +345,14 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 emr, emg, emb, isem)
 
     def occluded_q(ox, oy, oz, dx, dy, dz, t_max):
-        """Shadow any-hit with per-ray t_max (raytrace.metal:79-85)."""
+        """Shadow any-hit with per-ray t_max (raytrace.metal:79-85).
+        ``occluders`` statically culls triangles that provably cannot block
+        a surface->light segment (intersect.potential_occluders — e.g. the
+        convex-hull walls); decisions are bit-identical to the full loop."""
         occ = jnp.zeros((RAY_SUB, LANES), bool)
-        for tri in tris:
+        shadow_tris = (tris if occluders is None else
+                       [t for i, t in enumerate(tris) if occluders[i]])
+        for tri in shadow_tris:
             nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2 = tri[:12]
             den = dx * nx + dy * ny + dz * nz
             num = c0 - (ox * nx + oy * ny + oz * nz)
@@ -657,7 +662,8 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
                         raw_records: bool = False,
                         records_only: bool = False,
                         local_offsets=None, rid_base=None,
-                        flat_output: bool = False, draws=None):
+                        flat_output: bool = False, draws=None,
+                        occluders=None):
     """Single-chip entry when local_offsets/rid_base are None; under
     shard_map, pass the shard's RNG-offset slice and its global first pixel
     id ([1, 1] i32) — outputs are then the shard's flat [local, 3] hdr.
@@ -698,8 +704,11 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
         tile_ix = lambda i: (i, 0)
         const_ix = lambda i: (0, 0)
 
+    if occluders is not None:
+        assert len(occluders) == num_tris, (len(occluders), num_tris)
+        occluders = tuple(bool(x) for x in occluders)
     kernel = partial(_path_kernel, config, n_pixels, num_tris, num_spheres,
-                     emit_records, records_only, s_chunk)
+                     emit_records, records_only, s_chunk, occluders)
     plane = jax.ShapeDtypeStruct((n_padded // LANES, LANES), _F32)
     out_specs = pl.BlockSpec((RAY_SUB, LANES), tile_ix,
                              memory_space=pltpu.VMEM)

@@ -818,7 +818,7 @@ def _auto_records_only(config: RenderConfig, n_pixels=None) -> bool:
 
 def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
                                 interpret=None, records_only=None,
-                                draws=None) -> jnp.ndarray:
+                                draws=None, occluders=None) -> jnp.ndarray:
     """Variant-B differentiable render at megakernel forward speed: the
     trace kernel's hdr with the hand-written backward attached. Handles
     triangle and sphere scenes (the backward replays the analytic sphere
@@ -827,7 +827,12 @@ def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
     ``draws``: optional ``pallas_path.pregen_draws(config)`` result. The
     draws are step-invariant; pass them from OUTSIDE a training/bench loop
     to hoist their generation out of every step (XLA sinks, not hoists, the
-    pregen kernel when left inside a scan body)."""
+    pregen kernel when left inside a scan body).
+
+    ``occluders``: optional ``intersect.potential_occluders(scene, config)``
+    tuple — statically culls provably-non-occluding triangles from the
+    shadow loops (~1/3 of the Cornell shadow work; decisions unchanged).
+    Compute it on the concrete scene and rebuild it if geometry moves."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if records_only is None:
@@ -835,7 +840,8 @@ def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
     hdr, aux = _render_pallas_impl(jax.lax.stop_gradient(scene), config,
                                    interpret=interpret, emit_records=True,
                                    raw_records=True,
-                                   records_only=records_only, draws=draws)
+                                   records_only=records_only, draws=draws,
+                                   occluders=occluders)
     table, cam_vec, light_vec = _pack_diff_inputs(scene, config)
     from ..render import pixel_rng_offsets
     offsets = pixel_rng_offsets(config) if records_only else None
@@ -845,7 +851,7 @@ def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
 
 def render_path_fused_local(scene: Scene, config: RenderConfig,
                             local_offsets, rid_base, interpret=None,
-                            records_only=None, draws=None):
+                            records_only=None, draws=None, occluders=None):
     """Shard-local fused render for use inside ``shard_map`` (see
     parallel/fast.py): renders the pixels [rid_base, rid_base + len(offsets))
     and returns flat [local, 3] hdr with the hand-written backward attached.
@@ -861,7 +867,7 @@ def render_path_fused_local(scene: Scene, config: RenderConfig,
                                    records_only=records_only,
                                    local_offsets=local_offsets,
                                    rid_base=rid_base, flat_output=True,
-                                   draws=draws)
+                                   draws=draws, occluders=occluders)
     table, cam_vec, light_vec = _pack_diff_inputs(scene, config)
     offsets = local_offsets if records_only else None
     return _attach_grad(config, interpret, hdr, table, cam_vec, light_vec,

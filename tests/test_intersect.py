@@ -176,3 +176,48 @@ def test_batched_shapes():
     assert h.hit.shape == (4, 7)
     assert h.normal.shape == (4, 7, 3)
     assert h.metallic.shape == (4, 7)
+
+
+def test_potential_occluders_culls_hull_walls():
+    """Half-space occluder culling (intersect.potential_occluders): the 10
+    convex-hull wall triangles + the 2 light-panel triangles of the Cornell
+    box can never block a surface->light segment; the 24 inner-box
+    triangles can. Sphere scene: only the light panel survives (ceiling
+    verts sit above the light plane)."""
+    from gpuraytracer_tpu.intersect import potential_occluders
+    from gpuraytracer_tpu.scene import cornell_box, cornell_box_with_spheres
+    from gpuraytracer_tpu.types import RenderConfig
+
+    cfg = RenderConfig(width=16, height=8)
+    s = cornell_box(resolution=(16, 8))
+    m = potential_occluders(s, cfg)
+    assert len(m) == s.triangles.num_triangles
+    assert sum(m) == 24  # walls + light culled, box tris kept
+
+    s2 = cornell_box_with_spheres(resolution=(16, 8))
+    m2 = potential_occluders(s2, cfg)
+    assert len(m2) == s2.triangles.num_triangles
+    assert sum(m2) == 2  # only the light panel kept
+
+
+def test_occluder_culling_preserves_render(cornell_scene):
+    """Culled shadow loops change no visibility decision: kernel output with
+    the mask equals the full loop to compilation-variance ulps, and still
+    matches the oracle at the kernel-parity tolerance."""
+    import jax
+    import numpy as np
+    from gpuraytracer_tpu.intersect import potential_occluders
+    from gpuraytracer_tpu.ops.pallas_shade import render_path_decoupled_fused
+    from gpuraytracer_tpu.render import render
+    from gpuraytracer_tpu.types import RenderConfig
+
+    cfg = RenderConfig(width=16, height=8, integrator="path", spp=2,
+                       bounces=2, pixel_chunk=128)
+    from gpuraytracer_tpu.scene import cornell_box
+    s = cornell_box(resolution=(16, 8))
+    occ = potential_occluders(s, cfg)
+    a = np.asarray(render_path_decoupled_fused(s, cfg, occluders=occ))
+    b = np.asarray(render_path_decoupled_fused(s, cfg))
+    np.testing.assert_allclose(a, b, atol=5e-8, rtol=1e-6)
+    oracle = np.asarray(render(s, cfg).hdr)
+    np.testing.assert_allclose(a, oracle, atol=2e-5, rtol=1e-4)
