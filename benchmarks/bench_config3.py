@@ -26,6 +26,7 @@ def _t(fn):
 
 def main():
     sys.path.insert(0, ".")
+    from gpuraytracer_tpu.intersect import potential_occluders
     from gpuraytracer_tpu.ops.pallas_mis_bwd import render_mis_fused
     from gpuraytracer_tpu.ops.pallas_shade import render_path_decoupled_fused
     from gpuraytracer_tpu.scene import cornell_box_glossy
@@ -50,8 +51,10 @@ def main():
          W * H * 6 * (1 + 16 * 5)),
     ]
     for name, cfg, render_fn, trav in jobs:
+        occ = potential_occluders(scene, cfg)
         vg = jax.value_and_grad(
-            lambda s: jnp.mean(render_fn(s, cfg)), allow_int=True)
+            lambda s: jnp.mean(render_fn(s, cfg, occluders=occ)),
+            allow_int=True)
 
         def step(s, eps):
             # Perturb BOTH light fields: variant B reads color, variant A

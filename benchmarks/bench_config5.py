@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 def main():
     sys.path.insert(0, ".")
+    from gpuraytracer_tpu.intersect import potential_occluders
     from gpuraytracer_tpu.ops.pallas_shade import render_path_decoupled_fused
     from gpuraytracer_tpu.scene import cornell_box
     from gpuraytracer_tpu.types import RenderConfig
@@ -25,9 +26,10 @@ def main():
     cfg = RenderConfig(width=W, height=H, integrator="path", spp=SPP,
                        bounces=B)
     scene = jax.device_put(cornell_box(resolution=(W, H)))
+    occ = potential_occluders(scene, cfg)
 
     def loss(s):
-        return jnp.mean(render_path_decoupled_fused(s, cfg))
+        return jnp.mean(render_path_decoupled_fused(s, cfg, occluders=occ))
 
     vg = jax.value_and_grad(loss, allow_int=True)
 

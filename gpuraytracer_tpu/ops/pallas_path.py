@@ -292,13 +292,17 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             den = dx * nx + dy * ny + dz * nz
             num = c0 - (ox * nx + oy * ny + oz * nz)
             ok = jnp.abs(den) >= 1e-12
-            tt = num / jnp.where(ok, den, 1.0)
+            # Raw divide: guarded lanes produce Inf/NaN, every comparison on
+            # them is false, and ``ok`` stays in the accept mask — decisions
+            # (and winning-lane t values) exactly match the oracle's
+            # selected-divide form at one fewer select per primitive.
+            tt = num / den
             u = (ox * s1x + oy * s1y + oz * s1z) \
                 + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
             v = (ox * s2x + oy * s2y + oz * s2z) \
                 + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
             closer = (ok & (tt > RAY_TMIN) & (tt < RAY_TMAX)
-                      & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                      & (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0)
                       & (tt < t_best))
             t_best = jnp.where(closer, tt, t_best)
             prim_f = jnp.where(closer, _F32(t_idx), prim_f)
@@ -357,13 +361,17 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             den = dx * nx + dy * ny + dz * nz
             num = c0 - (ox * nx + oy * ny + oz * nz)
             ok = jnp.abs(den) >= 1e-12
-            tt = num / jnp.where(ok, den, 1.0)
+            # Raw divide: guarded lanes produce Inf/NaN, every comparison on
+            # them is false, and ``ok`` stays in the accept mask — decisions
+            # (and winning-lane t values) exactly match the oracle's
+            # selected-divide form at one fewer select per primitive.
+            tt = num / den
             u = (ox * s1x + oy * s1y + oz * s1z) \
                 + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
             v = (ox * s2x + oy * s2y + oz * s2z) \
                 + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
             occ = occ | (ok & (tt > 0.0) & (tt < t_max)
-                         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+                         & (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0))
         for sph in sphs:
             pos, t1, t2 = sphere_roots(sph, ox, oy, oz, dx, dy, dz)
             t1_ok = (t1 > 0.0) & (t1 < t_max)
