@@ -188,8 +188,8 @@ def test_inverse_rendering_fast_loop_converges(sphere_scene):
     target = render_hdr(scene32, cfg)
     init = true_params._replace(
         light_emission=true_params.light_emission * 0.4)
-    res = inverse_render(scene32, target, init, cfg, steps=40,
-                         learning_rate=5e-2, fast=True)
+    res = inverse_render(scene32, target, init, cfg, steps=60,
+                         learning_rate=1e-2, fast=True)
     losses = np.asarray(res.losses)
     assert losses[-1] < losses[0] * 0.2
     np.testing.assert_allclose(np.asarray(res.params.light_emission),
