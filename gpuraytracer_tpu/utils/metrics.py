@@ -111,12 +111,16 @@ _HALTON = 55
 
 def roofline_path_fwd(config: RenderConfig, num_tris: int = 36,
                       num_spheres: int = 0, in_kernel_rng: bool = True,
-                      chip: dict = V5E) -> dict:
+                      shadow_tris: int = None, chip: dict = V5E) -> dict:
     """Compute-bound (VPU) and bandwidth-bound time floors for the variant-B
     trace kernel, and helpers to report achieved-vs-roofline. The kernel is
     elementwise-dominated (the one-hot MXU fetches are a rounding error next
-    to the 36-primitive intersection loops), so the VPU term governs."""
-    per_bounce = (num_tris * (_TRI_CLOSEST + _TRI_SHADOW)
+    to the 36-primitive intersection loops), so the VPU term governs.
+    ``shadow_tris``: triangles left in the shadow loop after occluder
+    culling (intersect.potential_occluders) — defaults to num_tris."""
+    if shadow_tris is None:
+        shadow_tris = num_tris
+    per_bounce = (num_tris * _TRI_CLOSEST + shadow_tris * _TRI_SHADOW
                   + num_spheres * 2 * _SPH + _SHADE)
     if in_kernel_rng:
         per_bounce += 4 * _HALTON          # NEE + cosine u-pairs
