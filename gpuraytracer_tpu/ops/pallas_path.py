@@ -260,6 +260,15 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
     n_prims = num_tris + num_spheres
     p_iota = jax.lax.broadcasted_iota(_I32, (n_prims, TILE), 0)
+    # Exact one-pass attribute fetch (same bf16 chunk-split as the backward
+    # kernel, pallas_shade.py): three bf16-representable chunks stacked
+    # along the output row dim, one DEFAULT matmul, fold reconstructs the
+    # f32 table exactly — 1/6 the MXU passes of the previous HIGHEST fetch.
+    atabv = atab_ref[...]
+    a0 = atabv.astype(jnp.bfloat16).astype(_F32)
+    ar = atabv - a0
+    a1 = ar.astype(jnp.bfloat16).astype(_F32)
+    atab9 = jnp.concatenate([a0, a1, ar - a1], axis=0)  # [3*NATTR, P]
 
     def sphere_roots(sph, ox, oy, oz, dx, dy, dz):
         """Quadratic ray/sphere roots (shaders_old.metal:108-136; same op
@@ -321,10 +330,11 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         # consumer is gated by ``hit``-derived masks downstream.
         pc = jnp.clip(prim_f, 0.0, _F32(n_prims - 1)).astype(_I32)
         onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
-        at = jax.lax.dot_general(
-            atab_ref[...], onehot, (((1,), (0,)), ((), ())),
+        at9 = jax.lax.dot_general(
+            atab9, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=_F32,
-            precision=jax.lax.Precision.HIGHEST)  # [NATTR, TILE]
+            precision=jax.lax.Precision.DEFAULT)  # [3*NATTR, TILE]
+        at = at9[:NATTR] + at9[NATTR:2 * NATTR] + at9[2 * NATTR:]
         at = at.reshape(NATTR, RAY_SUB, LANES)
         nhx, nhy, nhz = at[0], at[1], at[2]
         dfr, dfg, dfb = at[3], at[4], at[5]
