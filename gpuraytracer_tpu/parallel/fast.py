@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..ops.pallas_path import TILE
 from ..ops.pallas_shade import render_path_fused_local
 from ..render import pixel_rng_offsets
 from ..types import RenderConfig, Scene
