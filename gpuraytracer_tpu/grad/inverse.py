@@ -67,7 +67,8 @@ def pixel_loss(params: SceneParams, scene: Scene, config: RenderConfig,
 
 
 def fast_pixel_loss(params: SceneParams, scene: Scene, config: RenderConfig,
-                    target: jnp.ndarray) -> jnp.ndarray:
+                    target: jnp.ndarray, draws=None,
+                    occluders=None) -> jnp.ndarray:
     """``pixel_loss`` through the fused kernel pair (Pallas trace forward +
     hand-written Pallas backward, ops/pallas_shade.py — sphere scenes take
     the analytic-sphere branch): ~100x the oracle's fwd+bwd throughput on
@@ -75,9 +76,18 @@ def fast_pixel_loss(params: SceneParams, scene: Scene, config: RenderConfig,
     step at the current parameters, so the piecewise-constant visibility is
     always evaluated at the live scene — the same estimator as
     ``pixel_loss``. This is BASELINE config 4's optax loop at kernel
-    speed (``inverse_render(..., fast=True)``)."""
+    speed (``inverse_render(..., fast=True)``).
+
+    ``draws``/``occluders``: step-invariant amortizations, computed ONCE by
+    the caller OUTSIDE the training scan (``inverse_render`` does this) —
+    the draws are a pure function of config, and the occluder mask is built
+    with enough ``sphere_slack`` to stay sound while centers move. XLA
+    SINKS (not hoists) the pregen kernel when it is left inside a scan
+    body, so omitting these re-pays ~14 radical-inverse tiles per sample
+    per step."""
     from ..ops import render_path_decoupled
-    img = render_path_decoupled(apply_params(scene, params), config)
+    img = render_path_decoupled(apply_params(scene, params), config,
+                                draws=draws, occluders=occluders)
     return jnp.mean((img - target) ** 2)
 
 
@@ -111,6 +121,7 @@ def inverse_render(
     soft: bool = False,
     kappa: float = 0.05,
     fast: bool = False,
+    sphere_slack: float = 0.5,
 ) -> InverseResult:
     """Gradient-descent recovery of scene parameters from a target image.
 
@@ -119,7 +130,15 @@ def inverse_render(
     tiny silhouette gradients more reliably than adam (whose per-parameter
     normalization amplifies plateau noise), so that's the soft-mode default.
     The whole loop runs as one jitted lax.scan so multi-step optimization is
-    a single device program."""
+    a single device program.
+
+    ``fast=True`` additionally hoists the two step-invariant amortizations
+    out of the scan: the pregenerated Halton draw planes
+    (``pallas_path.pregen_draws`` — pure function of config) and the static
+    occluder mask (``intersect.potential_occluders`` built with
+    ``sphere_slack`` of center-motion headroom, so the mask stays
+    conservative for every iterate the optimizer can reach; raise
+    ``sphere_slack`` if recovering shifts larger than it)."""
     import optax
 
     if optimizer is not None:
@@ -131,7 +150,13 @@ def inverse_render(
     if soft:
         loss_fn = partial(soft_pixel_loss, kappa=kappa)
     elif fast:
-        loss_fn = fast_pixel_loss
+        from ..intersect import potential_occluders
+        from ..ops.pallas_path import pregen_draws
+        from ..ops.pallas_shade import _auto_records_only
+        occluders = potential_occluders(scene, config,
+                                        sphere_slack=sphere_slack)
+        draws = None if _auto_records_only(config) else pregen_draws(config)
+        loss_fn = partial(fast_pixel_loss, draws=draws, occluders=occluders)
     else:
         loss_fn = pixel_loss
 

@@ -263,7 +263,8 @@ def any_hit(
     return occluded
 
 
-def potential_occluders(scene, config=None, tol_scale: float = 1e-4):
+def potential_occluders(scene, config=None, tol_scale: float = 1e-6,
+                        sphere_slack: float = 0.0):
     """Static shadow-probe culling mask: ``mask[t]`` is False when triangle
     t provably CANNOT occlude any segment between a scene surface point and
     an area-light sample point, because every such endpoint lies in one
@@ -285,7 +286,21 @@ def potential_occluders(scene, config=None, tol_scale: float = 1e-4):
     (sampling.metal:208-213 quirk). Returns a tuple of bools, True = keep
     in the shadow loop. Reference behavior being preserved: the occlusion
     tests of RTrace/raytrace.metal:79-85 / shaders.metal:519-541 (decisions
-    are bit-identical — culled triangles could never flip them)."""
+    are bit-identical — culled triangles could never flip them).
+
+    ``tol_scale``: slack on the half-space test, absorbing ONLY the f32->f64
+    conversion noise of the endpoint coordinates (~1e-7 relative). It MUST
+    stay well below the kernels' geometric epsilons (1e-3 shadow-origin
+    offset along the normal; 1e-3 t_max shrink) — a tol that exceeded those
+    margins would let a segment genuinely cross a culled triangle's plane,
+    silently changing visibility vs the full loop (asserted below).
+
+    ``sphere_slack``: inflates every sphere's radius by this amount in the
+    endpoint set, so the mask stays conservative while sphere CENTERS move
+    by up to ``sphere_slack`` (in any direction) from the positions it was
+    computed at — what an inverse-rendering loop optimizing centers needs to
+    hoist the mask out of its scan (grad/inverse.py). Triangle and light
+    geometry must still be exactly the geometry passed here."""
     import numpy as np
 
     verts = np.asarray(scene.triangles.verts, np.float64)  # [T, 3, 3]
@@ -319,12 +334,19 @@ def potential_occluders(scene, config=None, tol_scale: float = 1e-4):
     d = pts @ n.T - c0[None, :]  # [P, T] signed distances
     scale = max(1.0, np.abs(pts).max())
     tol = tol_scale * scale
+    # The culling proof needs tol strictly inside the kernels' shadow-ray
+    # epsilons (1e-3 origin offset / t_max shrink): an endpoint accepted up
+    # to tol on the wrong side of a plane is then still outside the probes'
+    # open t-window (ADVICE r3).
+    assert tol < 1e-4, (
+        f"occluder tol {tol:.3g} must stay well under the kernels' 1e-3 "
+        "shadow epsilons; lower tol_scale")
     below = np.all(d <= tol, axis=0)
     above = np.all(d >= -tol, axis=0)
     sp = scene.spheres
     if sp.num_spheres:
         c = np.asarray(sp.center, np.float64)   # [S, 3]
-        r = np.asarray(sp.radius, np.float64)   # [S]
+        r = np.asarray(sp.radius, np.float64) + float(sphere_slack)  # [S]
         ds = c @ n.T - c0[None, :]              # [S, T]
         below &= np.all(ds + r[:, None] <= tol, axis=0)
         above &= np.all(ds - r[:, None] >= -tol, axis=0)

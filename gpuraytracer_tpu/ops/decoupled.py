@@ -56,11 +56,9 @@ import jax.numpy as jnp
 from ..intersect import compile_scene
 from ..render import pixel_coords
 from ..types import RenderConfig, Scene
-from .pallas_path import TraceAux, _render_pallas_impl
+from .pallas_path import OCC_BIT, TraceAux, _render_pallas_impl
 
 _F32 = jnp.float32
-
-OCC_BIT = 512  # record code = prim + 1 + OCC_BIT * occluded
 
 
 def trace_records(scene: Scene, config: RenderConfig, interpret=None):

@@ -47,6 +47,25 @@ TILE = RAY_SUB * LANES       # rays per grid step
 BIG = 1e30
 RAY_TMIN = 1e-3
 RAY_TMAX = 1e3
+# Record code = (prim + 1) + OCC_BIT * shadow_occluded; 0 = miss. Power of
+# two (int decode is an and-mask) and small enough that every code stays
+# exact in f32 (codes < 2^21 << 2^24) while leaving room for ~1M primitives
+# (the grouped-traversal scenes go far past the old 512 limit).
+OCC_BIT = 1 << 20
+
+# Triangle-count threshold between the two traversal modes. Below it the
+# primitive loop is a STATIC Python unroll over SMEM scalars (each scalar
+# load has a static address, Mosaic hoists all of them out of the sample
+# loop — the measured-fastest design for Cornell-scale scenes). Above it
+# the kernels switch to GROUPED traversal: a fori_loop over fixed-size
+# groups whose constants are read with DYNAMIC SMEM scalar indexing, so
+# trace/compile size is O(GROUP) instead of O(P) and scenes of 1k-100k
+# triangles compile in seconds. The attribute fetch likewise switches from
+# one [P, TILE] one-hot matmul to per-128-block one-hots (a [P, TILE]
+# one-hot at P=1k is 16 MB — past VMEM).
+STATIC_UNROLL_MAX = 64
+GROUP = 16     # triangles per dynamically-indexed inner unroll
+PBLK = 128     # primitives per one-hot fetch block (grouped mode)
 
 
 class TraceAux(NamedTuple):
@@ -55,7 +74,7 @@ class TraceAux(NamedTuple):
     planes carry the random draws so the replay never recomputes Halton
     digits. Shapes: [spp, bounces, N] except jitter_[xy] [spp, N]."""
 
-    records: jnp.ndarray   # int32: (prim + 1) + 512 * shadow_occluded; 0=miss
+    records: jnp.ndarray   # int32: (prim + 1) + OCC_BIT * occluded; 0=miss
     nee_u0: jnp.ndarray    # f32 light-sample u (pre-scale, in [0,1))
     nee_u1: jnp.ndarray
     cos_u0: jnp.ndarray    # f32 cosine-bounce u
@@ -207,18 +226,31 @@ def _draws_kernel(config: RenderConfig, s_chunk: int,
 
 def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                  num_spheres: int, emit_records: bool, records_only: bool,
-                 s_chunk: int, occluders,
+                 s_chunk: int, occluders, grouped: bool, n_shadow: int,
                  offsets_ref, rid_base_ref, cam_ref, light_ref, tri_ref,
                  sph_ref, atab_ref, *rest):
     """One [RAY_SUB, 128] tile of rays: full spp x bounces path trace.
 
     With ``emit_records``, also writes one int32 visibility record per
-    (sample, bounce, ray): code = (winning prim + 1) + 512 * shadow_occluded
+    (sample, bounce, ray): code = (winning prim + 1) + OCC_BIT * occluded
     (0 = miss; sphere s records as num_tris + s + 1). The records replay the
     kernel's discrete decisions in a cheap differentiable jnp shading pass
     (ops/decoupled.py) — the fwd+bwd path. In this mode (unless
     ``records_only``) the random draws arrive as precomputed input planes
-    from ``_draws_kernel`` instead of being radical-inversed in-loop."""
+    from ``_draws_kernel`` instead of being radical-inversed in-loop.
+
+    ``grouped`` switches the primitive loops to dynamic GROUPED traversal
+    (see STATIC_UNROLL_MAX): tri_ref is then a zero-padded [12, P_pad] SMEM
+    geometry table read with dynamic scalar indices inside a fori_loop over
+    GROUP-sized chunks, atab_ref a TRANSPOSED [P_pad128, NATTR] VMEM fetch
+    table contracted per 128-primitive block, and an extra ``shadow_ref``
+    SMEM table (occluder-culled triangles packed dense, ``n_shadow`` wide)
+    precedes the other rest-args. Padding columns are all-zero, so their
+    plane tests fail the |den| guard and can never win."""
+    if grouped:
+        shadow_ref, rest = rest[0], rest[1:]
+    else:
+        shadow_ref = None
     reads_draws = emit_records and not records_only
     if reads_draws:
         (nee0_ref, nee1_ref, cos0_ref, cos1_ref, jx_ref, jy_ref,
@@ -250,25 +282,68 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
     # Hoist all triangle/sphere scalars out of the sample loop
     # (loop-invariant). Only the 12 geometry rows are consumed in-kernel;
-    # shading attributes come from the one-hot fetch table.
+    # shading attributes come from the one-hot fetch table. (Static mode
+    # only — grouped mode reads them with dynamic indices per group.)
     tris = []
-    for t in range(num_tris):
-        tris.append(tuple(tri_ref[r, t] for r in range(12)))
+    if not grouped:
+        for t in range(num_tris):
+            tris.append(tuple(tri_ref[r, t] for r in range(12)))
     sphs = []
     for s_i in range(num_spheres):
         sphs.append(tuple(sph_ref[r, s_i] for r in range(SROWS)))
 
     n_prims = num_tris + num_spheres
-    p_iota = jax.lax.broadcasted_iota(_I32, (n_prims, TILE), 0)
-    # Exact one-pass attribute fetch (same bf16 chunk-split as the backward
-    # kernel, pallas_shade.py): three bf16-representable chunks stacked
-    # along the output row dim, one DEFAULT matmul, fold reconstructs the
-    # f32 table exactly — 1/6 the MXU passes of the previous HIGHEST fetch.
-    atabv = atab_ref[...]
-    a0 = atabv.astype(jnp.bfloat16).astype(_F32)
-    ar = atabv - a0
-    a1 = ar.astype(jnp.bfloat16).astype(_F32)
-    atab9 = jnp.concatenate([a0, a1, ar - a1], axis=0)  # [3*NATTR, P]
+    if not grouped:
+        p_iota = jax.lax.broadcasted_iota(_I32, (n_prims, TILE), 0)
+        # Exact one-pass attribute fetch (same bf16 chunk-split as the
+        # backward kernel, pallas_shade.py): three bf16-representable chunks
+        # stacked along the output row dim, one DEFAULT matmul, fold
+        # reconstructs the f32 table exactly — 1/6 the MXU passes of the
+        # previous HIGHEST fetch.
+        atabv = atab_ref[...]
+        a0 = atabv.astype(jnp.bfloat16).astype(_F32)
+        ar = atabv - a0
+        a1 = ar.astype(jnp.bfloat16).astype(_F32)
+        atab9 = jnp.concatenate([a0, a1, ar - a1], axis=0)  # [3*NATTR, P]
+    else:
+        pb_iota = jax.lax.broadcasted_iota(_I32, (PBLK, TILE), 0)
+
+    def fetch_attrs(prim_f, hit):
+        """One-hot MXU attribute fetch of the winning primitive's shading
+        rows -> [NATTR, RAY_SUB, LANES]. Miss lanes clamp to primitive 0;
+        every consumer is gated by ``hit``-derived masks downstream.
+
+        Grouped mode contracts per 128-primitive block against the
+        TRANSPOSED table (a full [P, TILE] one-hot at 1k+ prims would be
+        16+ MB — past VMEM); each block gets the same exact bf16
+        chunk-split, folded per block, and each primitive matches exactly
+        one block so the block-sum is exact."""
+        pc = jnp.clip(prim_f, 0.0, _F32(n_prims - 1)).astype(_I32)
+        if not grouped:
+            onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
+            at9 = jax.lax.dot_general(
+                atab9, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.DEFAULT)  # [3*NATTR, TILE]
+            at = at9[:NATTR] + at9[NATTR:2 * NATTR] + at9[2 * NATTR:]
+            return at.reshape(NATTR, RAY_SUB, LANES)
+        pcf = pc.reshape(1, TILE)
+        n_pblocks = atab_ref.shape[0] // PBLK
+        at_acc = None
+        for bk in range(n_pblocks):
+            oh = (pb_iota == (pcf - bk * PBLK)).astype(_F32)  # [PBLK, TILE]
+            blk = atab_ref[bk * PBLK:(bk + 1) * PBLK, :]      # [PBLK, NATTR]
+            b0 = blk.astype(jnp.bfloat16).astype(_F32)
+            br = blk - b0
+            b1 = br.astype(jnp.bfloat16).astype(_F32)
+            blk9 = jnp.concatenate([b0, b1, br - b1], axis=1)  # [PBLK, 3*NA]
+            at9 = jax.lax.dot_general(
+                blk9, oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.DEFAULT)  # [3*NATTR, TILE]
+            part = at9[:NATTR] + at9[NATTR:2 * NATTR] + at9[2 * NATTR:]
+            at_acc = part if at_acc is None else at_acc + part
+        return at_acc.reshape(NATTR, RAY_SUB, LANES)
 
     def sphere_roots(sph, ox, oy, oz, dx, dy, dz):
         """Quadratic ray/sphere roots (shaders_old.metal:108-136; same op
@@ -285,36 +360,63 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         t2 = (-b + sq) / (2.0 * a)
         return pos, t1, t2
 
+    def _tri_closest_step(row, prim_idx_f, ox, oy, oz, dx, dy, dz,
+                          t_best, prim_f):
+        """One triangle's closest-hit test + running-min carry update.
+        ``row``: the 12 geometry scalars; ``prim_idx_f``: the triangle's
+        index as an f32 scalar (static in unrolled mode, traced in grouped
+        mode — a splat either way)."""
+        (nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2) = row
+        den = dx * nx + dy * ny + dz * nz
+        num = c0 - (ox * nx + oy * ny + oz * nz)
+        ok = jnp.abs(den) >= 1e-12
+        # Raw divide: guarded lanes produce Inf/NaN, every comparison on
+        # them is false, and ``ok`` stays in the accept mask — decisions
+        # (and winning-lane t values) exactly match the oracle's
+        # selected-divide form at one fewer select per primitive.
+        tt = num / den
+        u = (ox * s1x + oy * s1y + oz * s1z) \
+            + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
+        v = (ox * s2x + oy * s2y + oz * s2z) \
+            + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
+        closer = (ok & (tt > RAY_TMIN) & (tt < RAY_TMAX)
+                  & (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0)
+                  & (tt < t_best))
+        t_best = jnp.where(closer, tt, t_best)
+        prim_f = jnp.where(closer, prim_idx_f, prim_f)
+        return t_best, prim_f
+
     def closest(ox, oy, oz, dx, dy, dz):
-        """Running-min closest hit over the static triangle loop. Returns
+        """Running-min closest hit over the triangle loop (static unroll or
+        grouped fori_loop). Returns
         (hit, t, prim_f, normal xyz, diffuse rgb, emissive rgb, is_em).
 
         Only (t_best, prim_f) are carried through the primitive loop; the 10
-        shading-attribute planes are fetched once at the end by a one-hot
-        [NATTR, P] @ [P, TILE] MXU matmul over the winning index — exact
-        (0/1 one-hot operands under HIGHEST), and ~10 fewer VPU selects per
-        primitive per ray than carrying the attributes through the chain."""
+        shading-attribute planes are fetched once at the end by the one-hot
+        MXU fetch (``fetch_attrs``) — ~10 fewer VPU selects per primitive
+        per ray than carrying the attributes through the chain."""
         t_best = jnp.full((RAY_SUB, LANES), BIG, _F32)
         prim_f = t_best * 0.0 - 1.0  # winning primitive index, -1 = miss
-        for t_idx, tri in enumerate(tris):
-            (nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2) = tri
-            den = dx * nx + dy * ny + dz * nz
-            num = c0 - (ox * nx + oy * ny + oz * nz)
-            ok = jnp.abs(den) >= 1e-12
-            # Raw divide: guarded lanes produce Inf/NaN, every comparison on
-            # them is false, and ``ok`` stays in the accept mask — decisions
-            # (and winning-lane t values) exactly match the oracle's
-            # selected-divide form at one fewer select per primitive.
-            tt = num / den
-            u = (ox * s1x + oy * s1y + oz * s1z) \
-                + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
-            v = (ox * s2x + oy * s2y + oz * s2z) \
-                + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
-            closer = (ok & (tt > RAY_TMIN) & (tt < RAY_TMAX)
-                      & (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0)
-                      & (tt < t_best))
-            t_best = jnp.where(closer, tt, t_best)
-            prim_f = jnp.where(closer, _F32(t_idx), prim_f)
+        if not grouped:
+            for t_idx, tri in enumerate(tris):
+                t_best, prim_f = _tri_closest_step(
+                    tri, _F32(t_idx), ox, oy, oz, dx, dy, dz, t_best, prim_f)
+        else:
+            n_groups = tri_ref.shape[1] // GROUP
+
+            def group_body(g, carry):
+                t_b, p_f = carry
+                base = g * GROUP
+                for k in range(GROUP):
+                    idx = base + k
+                    row = tuple(tri_ref[r, idx] for r in range(12))
+                    t_b, p_f = _tri_closest_step(
+                        row, idx.astype(_F32), ox, oy, oz, dx, dy, dz,
+                        t_b, p_f)
+                return t_b, p_f
+
+            t_best, prim_f = jax.lax.fori_loop(
+                0, n_groups, group_body, (t_best, prim_f))
         # Analytic spheres after triangles (ties keep the triangle, like the
         # oracle's first-min argmin over [tris..., spheres...]).
         for s_idx, sph in enumerate(sphs):
@@ -326,16 +428,7 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             t_best = jnp.where(closer, tt, t_best)
             prim_f = jnp.where(closer, _F32(num_tris + s_idx), prim_f)
         hit = t_best < BIG * 0.5
-        # One-hot attribute fetch. Miss lanes clamp to primitive 0; every
-        # consumer is gated by ``hit``-derived masks downstream.
-        pc = jnp.clip(prim_f, 0.0, _F32(n_prims - 1)).astype(_I32)
-        onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
-        at9 = jax.lax.dot_general(
-            atab9, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=_F32,
-            precision=jax.lax.Precision.DEFAULT)  # [3*NATTR, TILE]
-        at = at9[:NATTR] + at9[NATTR:2 * NATTR] + at9[2 * NATTR:]
-        at = at.reshape(NATTR, RAY_SUB, LANES)
+        at = fetch_attrs(prim_f, hit)
         nhx, nhy, nhz = at[0], at[1], at[2]
         dfr, dfg, dfb = at[3], at[4], at[5]
         emr, emg, emb = at[6], at[7], at[8]
@@ -358,30 +451,51 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         return (hit, t_best, prim_f, nhx, nhy, nhz, dfr, dfg, dfb,
                 emr, emg, emb, isem)
 
+    def _tri_shadow_step(row, ox, oy, oz, dx, dy, dz, t_max, occ):
+        """One triangle's any-hit test, OR'd into the running occlusion."""
+        nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2 = row
+        den = dx * nx + dy * ny + dz * nz
+        num = c0 - (ox * nx + oy * ny + oz * nz)
+        ok = jnp.abs(den) >= 1e-12
+        # Raw divide: guarded lanes produce Inf/NaN, every comparison on
+        # them is false, and ``ok`` stays in the accept mask — decisions
+        # (and winning-lane t values) exactly match the oracle's
+        # selected-divide form at one fewer select per primitive.
+        tt = num / den
+        u = (ox * s1x + oy * s1y + oz * s1z) \
+            + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
+        v = (ox * s2x + oy * s2y + oz * s2z) \
+            + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
+        return occ | (ok & (tt > 0.0) & (tt < t_max)
+                      & (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0))
+
     def occluded_q(ox, oy, oz, dx, dy, dz, t_max):
         """Shadow any-hit with per-ray t_max (raytrace.metal:79-85).
         ``occluders`` statically culls triangles that provably cannot block
         a surface->light segment (intersect.potential_occluders — e.g. the
-        convex-hull walls); decisions are bit-identical to the full loop."""
+        convex-hull walls); decisions are bit-identical to the full loop.
+        Grouped mode iterates the dense host-packed shadow table (culled
+        triangles already dropped; padding columns fail the |den| guard)."""
         occ = jnp.zeros((RAY_SUB, LANES), bool)
-        shadow_tris = (tris if occluders is None else
-                       [t for i, t in enumerate(tris) if occluders[i]])
-        for tri in shadow_tris:
-            nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2 = tri[:12]
-            den = dx * nx + dy * ny + dz * nz
-            num = c0 - (ox * nx + oy * ny + oz * nz)
-            ok = jnp.abs(den) >= 1e-12
-            # Raw divide: guarded lanes produce Inf/NaN, every comparison on
-            # them is false, and ``ok`` stays in the accept mask — decisions
-            # (and winning-lane t values) exactly match the oracle's
-            # selected-divide form at one fewer select per primitive.
-            tt = num / den
-            u = (ox * s1x + oy * s1y + oz * s1z) \
-                + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
-            v = (ox * s2x + oy * s2y + oz * s2z) \
-                + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
-            occ = occ | (ok & (tt > 0.0) & (tt < t_max)
-                         & (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0))
+        if not grouped:
+            shadow_tris = (tris if occluders is None else
+                           [t for i, t in enumerate(tris) if occluders[i]])
+            for tri in shadow_tris:
+                occ = _tri_shadow_step(tri[:12], ox, oy, oz, dx, dy, dz,
+                                       t_max, occ)
+        else:
+            n_groups = shadow_ref.shape[1] // GROUP
+
+            def group_body(g, occ_c):
+                base = g * GROUP
+                for k in range(GROUP):
+                    idx = base + k
+                    row = tuple(shadow_ref[r, idx] for r in range(12))
+                    occ_c = _tri_shadow_step(row, ox, oy, oz, dx, dy, dz,
+                                             t_max, occ_c)
+                return occ_c
+
+            occ = jax.lax.fori_loop(0, n_groups, group_body, occ)
         for sph in sphs:
             pos, t1, t2 = sphere_roots(sph, ox, oy, oz, dx, dy, dz)
             t1_ok = (t1 > 0.0) & (t1 < t_max)
@@ -484,7 +598,8 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
             occ = occluded_q(hx, hy, hz, ldx, ldy, ldz, ldist - 1e-3)
             if emit_records:
-                code = (prim_f + 1.0) + jnp.where(occ, _F32(512.0), _F32(0.0))
+                code = (prim_f + 1.0) + jnp.where(occ, _F32(OCC_BIT),
+                                                  _F32(0.0))
                 bs = pl.ds((n_i32 * config.bounces + bounce) * RAY_SUB,
                            RAY_SUB)
                 rec_out_ref[bs, :] = code.astype(_I32)
@@ -562,10 +677,19 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         out_b_ref[...] = acc_b * inv_spp
 
 
-def _pack_inputs(scene: Scene, config: RenderConfig):
+def _pack_inputs(scene: Scene, config: RenderConfig, grouped: bool = False,
+                 occluders=None):
     """Host-side marshalling: triangle constants to a [NROWS, T] table,
     camera to a prescaled-basis vector, light to scalars — the analog of the
-    reference's convert*/makeBuffer step (RTrace/computeShader.swift:13-41)."""
+    reference's convert*/makeBuffer step (RTrace/computeShader.swift:13-41).
+
+    ``grouped``: marshal for the grouped-traversal kernels instead —
+    returns (tri_geo [12, P_gpad] zero-padded to a GROUP multiple,
+    cam_vec, light_vec, sph, atab_t [P_pad128, NATTR] TRANSPOSED fetch
+    table, shadow_geo [12, S_gpad] with only the ``occluders``-kept
+    triangles packed dense). Zero padding columns produce den == 0 in the
+    plane test, which the |den| >= 1e-12 guard rejects — they can never
+    win a hit or occlude."""
     compiled = compile_scene(scene.triangles, lane_pad=1)
     tri = jnp.stack([
         compiled.n[:, 0], compiled.n[:, 1], compiled.n[:, 2], compiled.c0,
@@ -629,7 +753,23 @@ def _pack_inputs(scene: Scene, config: RenderConfig):
         atab = jnp.concatenate([tri_cols, sph_cols], axis=1)
     else:
         atab = tri_cols
-    return tri, cam_vec, light_vec, sph, atab
+    if not grouped:
+        return tri, cam_vec, light_vec, sph, atab
+
+    def pad_cols(x, mult):
+        p = ((x.shape[1] + mult - 1) // mult) * mult
+        return jnp.pad(x, ((0, 0), (0, p - x.shape[1])))
+
+    tri_geo = pad_cols(tri[:12], GROUP)              # [12, P_gpad]
+    if occluders is not None:
+        keep = [i for i, k in enumerate(occluders) if k]
+        shadow_geo = pad_cols(tri[:12, jnp.asarray(keep, jnp.int32)], GROUP) \
+            if keep else jnp.zeros((12, GROUP), _F32)
+    else:
+        shadow_geo = tri_geo
+    n_pad = ((atab.shape[1] + PBLK - 1) // PBLK) * PBLK
+    atab_t = jnp.pad(atab, ((0, 0), (0, n_pad - atab.shape[1]))).T
+    return tri_geo, cam_vec, light_vec, sph, atab_t, shadow_geo
 
 
 def pregen_draws(config: RenderConfig, local_offsets=None, interpret=None):
@@ -681,7 +821,7 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
                         records_only: bool = False,
                         local_offsets=None, rid_base=None,
                         flat_output: bool = False, draws=None,
-                        occluders=None):
+                        occluders=None, grouped=None):
     """Single-chip entry when local_offsets/rid_base are None; under
     shard_map, pass the shard's RNG-offset slice and its global first pixel
     id ([1, 1] i32) — outputs are then the shard's flat [local, 3] hdr.
@@ -690,7 +830,13 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     from the record stream — the backward kernel regenerates the Halton
     draws in-VMEM instead (pallas_shade recompute_rng mode). This is what
     makes BASELINE config 5 fit: at 1024^2 x 256 spp x 3 bounces the f32
-    draw planes alone are ~18 GB; the int32 records are 3.2 GB."""
+    draw planes alone are ~18 GB; the int32 records are 3.2 GB.
+
+    ``grouped``: None = auto (triangle count > STATIC_UNROLL_MAX). The
+    grouped kernels produce the same decisions and (f32) arithmetic as the
+    static unroll — the mode only changes how the primitive loop is
+    scheduled/compiled, so images are identical up to compilation-variance
+    ulps (asserted in tests/test_grouped.py)."""
     if interpret is None:
         # Mosaic only targets TPU; interpret elsewhere so the same entry
         # point runs in CPU CI.
@@ -698,9 +844,17 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     n_pixels = config.num_pixels
     num_tris = scene.triangles.num_triangles
     num_spheres = scene.spheres.num_spheres
-    assert num_tris + num_spheres + 1 < 512, "record encoding limit"
+    assert num_tris + num_spheres + 1 < OCC_BIT, "record encoding limit"
+    if grouped is None:
+        grouped = num_tris > STATIC_UNROLL_MAX
 
-    tri, cam_vec, light_vec, sph, atab = _pack_inputs(scene, config)
+    if grouped:
+        (tri, cam_vec, light_vec, sph, atab,
+         shadow_geo) = _pack_inputs(scene, config, grouped=True,
+                                    occluders=occluders)
+    else:
+        tri, cam_vec, light_vec, sph, atab = _pack_inputs(scene, config)
+        shadow_geo = None
     if local_offsets is None:
         local_offsets = pixel_rng_offsets(config)
     if rid_base is None:
@@ -725,8 +879,10 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     if occluders is not None:
         assert len(occluders) == num_tris, (len(occluders), num_tris)
         occluders = tuple(bool(x) for x in occluders)
+    n_shadow = (sum(occluders) if occluders is not None else num_tris)
     kernel = partial(_path_kernel, config, n_pixels, num_tris, num_spheres,
-                     emit_records, records_only, s_chunk, occluders)
+                     emit_records, records_only, s_chunk,
+                     None if grouped else occluders, grouped, n_shadow)
     plane = jax.ShapeDtypeStruct((n_padded // LANES, LANES), _F32)
     out_specs = pl.BlockSpec((RAY_SUB, LANES), tile_ix,
                              memory_space=pltpu.VMEM)
@@ -752,9 +908,50 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
             ((n_padded // LANES) * nsb, LANES), jnp.int32)]
         out_spec_list += [sb_spec]
         if not records_only:
+            if draws is not None:
+                expect = [(sb_plane.shape, _F32)] * 4 + [(s_plane.shape,
+                                                          _F32)] * 2
+                got = [(tuple(d.shape), d.dtype) for d in draws]
+                if len(draws) != 6 or any(
+                        tuple(g[0]) != e[0] for g, e in zip(got, expect)):
+                    raise ValueError(
+                        "draws= does not match this (config, shard): expected"
+                        f" plane shapes {[e[0] for e in expect]}, got"
+                        f" {[g[0] for g in got]} — regenerate with"
+                        " pallas_path.pregen_draws(config, local_offsets)")
             draw_arrays = tuple(draws) if draws is not None else \
                 pregen_draws(config, local_offsets, interpret)
             draw_specs = [sb_spec] * 4 + [s_spec] * 2
+    if draws is not None and (records_only or not emit_records):
+        # A caller-supplied pregen that this mode cannot consume is a bug at
+        # the call site (stale amortization assumptions) — fail loudly
+        # instead of silently re-deriving the draws in-kernel (ADVICE r3).
+        raise ValueError(
+            "draws= was passed but this mode regenerates draws in-kernel "
+            f"(records_only={records_only}, emit_records={emit_records}); "
+            "drop the argument or disable records_only")
+    if grouped:
+        geo_specs = [
+            pl.BlockSpec((12, tri.shape[1]), const_ix,
+                         memory_space=pltpu.SMEM),    # triangle geometry
+            pl.BlockSpec((SROWS, max(num_spheres, 1)), const_ix,
+                         memory_space=pltpu.SMEM),    # spheres
+            pl.BlockSpec(tuple(atab.shape), const_ix,
+                         memory_space=pltpu.VMEM),    # transposed fetch table
+            pl.BlockSpec((12, shadow_geo.shape[1]), const_ix,
+                         memory_space=pltpu.SMEM),    # packed shadow tris
+        ]
+        geo_args = (tri, sph, atab, shadow_geo)
+    else:
+        geo_specs = [
+            pl.BlockSpec((NROWS, num_tris), const_ix,
+                         memory_space=pltpu.SMEM),    # triangles
+            pl.BlockSpec((SROWS, max(num_spheres, 1)), const_ix,
+                         memory_space=pltpu.SMEM),    # spheres
+            pl.BlockSpec((NATTR, num_tris + num_spheres), const_ix,
+                         memory_space=pltpu.VMEM),    # one-hot fetch table
+        ]
+        geo_args = (tri, sph, atab)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -767,18 +964,13 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
                          memory_space=pltpu.SMEM),        # camera
             pl.BlockSpec((1, 6), const_ix,
                          memory_space=pltpu.SMEM),        # light
-            pl.BlockSpec((NROWS, num_tris), const_ix,
-                         memory_space=pltpu.SMEM),        # triangles
-            pl.BlockSpec((SROWS, max(num_spheres, 1)), const_ix,
-                         memory_space=pltpu.SMEM),        # spheres
-            pl.BlockSpec((NATTR, num_tris + num_spheres), const_ix,
-                         memory_space=pltpu.VMEM),        # one-hot fetch table
+            *geo_specs,
             *draw_specs,
         ],
         out_specs=tuple(out_spec_list),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(offsets, rid_base, cam_vec, light_vec, tri, sph, atab, *draw_arrays)
+    )(offsets, rid_base, cam_vec, light_vec, *geo_args, *draw_arrays)
     r, g, b = outs[:3]
     hdr = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     if flat_output:
@@ -816,8 +1008,12 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
 def render_path_pallas(scene: Scene, config: RenderConfig) -> jnp.ndarray:
     """Variant-B path trace via the Pallas megakernel. Returns [H, W, 3] HDR.
-    Differentiable: backward falls back to the VJP of the jnp reference
-    (bit-compatible math, recomputed)."""
+    Differentiable: the backward re-traces with record emission and runs the
+    hand-written Pallas backward (ops/pallas_shade.py) — kernel-speed
+    gradients identical to oracle AD. Forward-only callers pay nothing for
+    it; gradient callers pay one extra (record-emitting) trace, so steady
+    -state training loops should call ``render_path_decoupled_fused``
+    directly (one trace total)."""
     return _render_pallas_impl(scene, config)
 
 
@@ -826,7 +1022,8 @@ def _fwd(scene, config):
 
 
 def _bwd(config, scene, g):
-    _, vjp = jax.vjp(lambda s: render_path(s, config).hdr, scene)
+    from .pallas_shade import render_path_decoupled_fused
+    _, vjp = jax.vjp(lambda s: render_path_decoupled_fused(s, config), scene)
     return vjp(g)
 
 

@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import sampling as smp
 from ..intersect import compile_scene
 from ..types import RenderConfig, Scene
-from .pallas_path import (LANES, RAY_SUB, TILE, _f32_divmod, _halton_tile,
+from .pallas_path import (GROUP, LANES, OCC_BIT, PBLK, RAY_SUB,
+                          STATIC_UNROLL_MAX, TILE, _f32_divmod, _halton_tile,
                           _render_pallas_impl)
 
 _F32 = jnp.float32
@@ -70,7 +71,7 @@ NSCAL = 21  # pos(3) hu(3) hv(3) wb(3) lc(3) lcol(3) ln(3)
 
 def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
                       num_spheres: int, recompute_rng: bool, s_chunk: int,
-                      *refs):
+                      grouped: bool, *refs):
     """One ray tile: recompute every sample's path from the aux planes, then
     reverse the bounce chain accumulating parameter cotangents.
 
@@ -78,7 +79,14 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
     (records_only mode — BASELINE config 5's memory fix); the jitter and
     NEE/cosine draws are regenerated here from the RNG offsets with the
     same f32 Halton digits as the trace kernel — bit-identical values,
-    zero extra HBM planes."""
+    zero extra HBM planes.
+
+    ``grouped``: high-triangle-count mode (pallas_path.STATIC_UNROLL_MAX).
+    ``table_ref`` is then TRANSPOSED ([P_pad, nrows]) and both the one-hot
+    fetch and the cotangent accumulation contract per 128-primitive block
+    — a monolithic [P, TILE] one-hot at 1k+ prims would blow VMEM. The
+    replay itself is record-driven, so backward cost stays O(1) in scene
+    size outside these block loops."""
     if recompute_rng:
         (g_r_ref, g_g_ref, g_b_ref, rec_ref, off_ref, rid_base_ref,
          table_ref, cam_ref, light_ref, dtab_ref, dscal_ref) = refs
@@ -131,17 +139,44 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
     # the emissive VALUES never appear in the reverse sweep (their cotangent
     # d_em is just a hit_light-masked g), so the three em rows are dropped
     # from the fetch table: rows [0:7] + [10:nrows].
-    tabv = jnp.concatenate([table_ref[0:7], table_ref[10:nrows]], axis=0)
     nfetch = nrows - 3
-    t0 = tabv.astype(jnp.bfloat16).astype(_F32)
-    r1 = tabv - t0
-    t1 = r1.astype(jnp.bfloat16).astype(_F32)
-    tab9 = jnp.concatenate([t0, t1, r1 - t1], axis=0)     # [3*nfetch, P]
-    p_iota = jax.lax.broadcasted_iota(_I32, (P, TILE), 0)
+    if not grouped:
+        tabv = jnp.concatenate([table_ref[0:7], table_ref[10:nrows]], axis=0)
+        t0 = tabv.astype(jnp.bfloat16).astype(_F32)
+        r1 = tabv - t0
+        t1 = r1.astype(jnp.bfloat16).astype(_F32)
+        tab9 = jnp.concatenate([t0, t1, r1 - t1], axis=0)  # [3*nfetch, P]
+        p_iota = jax.lax.broadcasted_iota(_I32, (P, TILE), 0)
+    else:
+        P_pad = table_ref.shape[0]
+        n_pblocks = P_pad // PBLK
+        pb_iota = jax.lax.broadcasted_iota(_I32, (PBLK, TILE), 0)
 
     def fetch(pc):
         """Attrs via the chunk-stacked one-hot matmul (exact, see above).
-        Returns (onehot [P, TILE], nfetch planes [RAY_SUB, LANES])."""
+        Returns (onehot [P, TILE] or None in grouped mode,
+        nfetch planes [RAY_SUB, LANES])."""
+        if grouped:
+            pcf = pc.reshape(1, TILE)
+            at_acc = None
+            for bk in range(n_pblocks):
+                oh = (pb_iota == (pcf - bk * PBLK)).astype(_F32)
+                blk_full = table_ref[bk * PBLK:(bk + 1) * PBLK, :]
+                blk = jnp.concatenate(
+                    [blk_full[:, 0:7], blk_full[:, 10:nrows]], axis=1)
+                b0 = blk.astype(jnp.bfloat16).astype(_F32)
+                br = blk - b0
+                b1 = br.astype(jnp.bfloat16).astype(_F32)
+                blk9 = jnp.concatenate([b0, b1, br - b1], axis=1)
+                at9 = jax.lax.dot_general(
+                    blk9, oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=_F32,
+                    precision=jax.lax.Precision.DEFAULT)  # [3*nfetch, TILE]
+                part = (at9[:nfetch] + at9[nfetch:2 * nfetch]
+                        + at9[2 * nfetch:])
+                at_acc = part if at_acc is None else at_acc + part
+            at = at_acc.reshape(nfetch, RAY_SUB, LANES)
+            return None, [at[k] for k in range(nfetch)]
         onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
         at9 = jax.lax.dot_general(
             tab9, onehot, (((1,), (0,)), ((), ())),
@@ -193,8 +228,8 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
         for b in range(B):
             bs = pl.ds((n_i32 * B + b) * RAY_SUB, RAY_SUB)
             code = rec_ref[bs, :]
-            occ = code >= 512
-            prim = code % 512 - 1
+            occ = code >= OCC_BIT
+            prim = code % OCC_BIT - 1
             hit = prim >= 0
             pc = jnp.clip(prim, 0, P - 1)
             onehot, at = fetch(pc)
@@ -298,7 +333,7 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
             crxn, cryn, crzn = crx / crn, cry / crn, crz / crn
 
             res.append(dict(
-                onehot=onehot, tn=(tnx, tny, tnz),
+                onehot=onehot, pc=pc, tn=(tnx, tny, tnz),
                 nh=(nhx, nhy, nhz), df=df,
                 ok=ok, sden=sden, tt=tt, ts=ts,
                 o=(ox, oy, oz), d=(dx, dy, dz),
@@ -568,27 +603,42 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
             planes = jnp.stack(rows, axis=0)  # [ntab, 32, 128]
             planes = planes.reshape(ntab, TILE)
             # Same chunk-split trick as the fetch, on the cotangent side:
-            # split the planes into three bf16 chunks, stacked along the
-            # OUTPUT dim (no one-hot replication needed — the same [P, TILE]
-            # one-hot contracts all three chunk blocks), then fold the three
-            # [P, ntab] column blocks. Exact products + f32 accumulation:
-            # HIGHEST-equivalent accuracy at 1/2 the MXU passes.
-            # Cotangent accumulation, chunk-split like the fetch but with
-            # TWO chunks: hi = bf16(planes) (exact product) + the residual,
-            # which DEFAULT's own bf16 rounding truncates to 8 more mantissa
-            # bits. Per-partial relative error <= 2^-18 ~ 4e-6 on TPU — two
-            # decades inside the grad-parity tolerance (rtol 1e-4), and the
-            # oracle's own scatter-add order differs at that scale anyway.
-            # (Interpret/CPU mode multiplies in f32, where hi + residual is
-            # EXACT.) The fetch stays 3-chunk-exact so no replay value or
-            # clip-gate decision ever moves.
+            # split the planes into THREE bf16-exact chunks stacked along
+            # the output dim (the same one-hot contracts all chunk blocks),
+            # fold the [*, ntab] column blocks. Every f32 splits exactly
+            # into 3 bf16 chunks, the one-hot is 0/1 (bf16-exact), and the
+            # MXU accumulates in f32 — so the accumulated cotangents equal
+            # the HIGHEST-precision result up to f32 summation order, at
+            # half its MXU passes. (Round 3 shipped a TWO-chunk variant,
+            # <=2^-18 rel per partial; the round-4 TPU-hardware parity run
+            # measured 3.4e-3 relative error on sphere-radius gradients —
+            # near-cancelling partials amplify the truncated residual — so
+            # the third chunk is load-bearing, not paranoia. Interpret/CPU
+            # multiplies in f32 where either split is exact; only real-MXU
+            # runs see the difference: tests/test_tpu_hw.py.)
             p0 = planes.astype(jnp.bfloat16).astype(_F32)
-            planes6 = jnp.concatenate([p0, planes - p0], axis=0)
-            part = jax.lax.dot_general(
-                r["onehot"], planes6, (((1,), (1,)), ((), ())),
-                preferred_element_type=_F32,
-                precision=jax.lax.Precision.DEFAULT)  # [P, 2*ntab]
-            dtab_acc = dtab_acc + (part[:, :ntab] + part[:, ntab:])
+            pr = planes - p0
+            p1 = pr.astype(jnp.bfloat16).astype(_F32)
+            planes9 = jnp.concatenate([p0, p1, pr - p1], axis=0)  # [3*ntab,T]
+            if grouped:
+                pcf = r["pc"].reshape(1, TILE)
+                parts = []
+                for bk in range(n_pblocks):
+                    oh = (pb_iota == (pcf - bk * PBLK)).astype(_F32)
+                    pb = jax.lax.dot_general(
+                        oh, planes9, (((1,), (1,)), ((), ())),
+                        preferred_element_type=_F32,
+                        precision=jax.lax.Precision.DEFAULT)  # [PBLK,3*ntab]
+                    parts.append(pb[:, :ntab] + pb[:, ntab:2 * ntab]
+                                 + pb[:, 2 * ntab:])
+                dtab_acc = dtab_acc + jnp.concatenate(parts, axis=0)
+            else:
+                part = jax.lax.dot_general(
+                    r["onehot"], planes9, (((1,), (1,)), ((), ())),
+                    preferred_element_type=_F32,
+                    precision=jax.lax.Precision.DEFAULT)  # [P, 3*ntab]
+                dtab_acc = dtab_acc + (part[:, :ntab] + part[:, ntab:2 * ntab]
+                                       + part[:, 2 * ntab:])
 
         # Camera reverse (bounce-0 entry o/d are the camera ray).
         d_pos[0] += d_o[0]
@@ -607,7 +657,7 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
         new_scal = tuple(d_pos + d_hu + d_hv + d_wb + d_lc + d_lcol + d_ln)
         return dtab_acc, new_scal
 
-    dtab0 = jnp.zeros((P, ntab), _F32)
+    dtab0 = jnp.zeros((P_pad if grouped else P, ntab), _F32)
     scal0 = tuple(zero for _ in range(NSCAL))
     dtab_acc, dscal = jax.lax.fori_loop(
         0, s_chunk, one_sample, (dtab0, scal0), unroll=False)
@@ -626,7 +676,7 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
 def _bwd_pallas(config: RenderConfig, n_pixels: int, num_prims: int,
                 num_spheres: int, g_planes, aux_planes, table, cam_vec,
                 light_vec, interpret: bool, rid_base, n_local: int,
-                offsets=None):
+                offsets=None, grouped: bool = False):
     from .pallas_path import _sample_chunk_for
     n_padded = ((n_local + TILE - 1) // TILE) * TILE
     recompute_rng = offsets is not None
@@ -636,6 +686,15 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_prims: int,
     csb = s_chunk * config.bounces
     nrows = NROWS_TAB_SPH if num_spheres else NROWS_TAB
     ntab = NTAB_SPH if num_spheres else NTAB
+    # Grouped mode: table arrives TRANSPOSED [P_pad, nrows]; the dtab
+    # output covers the padding rows too (their cotangents are zero — no
+    # record ever points at them) and is sliced by the caller.
+    p_out = table.shape[0] if grouped else num_prims
+    table_spec = (pl.BlockSpec((table.shape[0], nrows),
+                               lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+                  if grouped else
+                  pl.BlockSpec((nrows, num_prims), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM))
 
     ray_spec = pl.BlockSpec((RAY_SUB, LANES), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -652,7 +711,7 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_prims: int,
         aux_specs = [sb_spec] * 5 + [s_spec] * 2  # records + uv + jitter
         aux_inputs = aux_planes
     kernel = partial(_shade_bwd_kernel, config, n_pixels, num_prims,
-                     num_spheres, recompute_rng, s_chunk)
+                     num_spheres, recompute_rng, s_chunk, grouped)
     dtab, dscal = pl.pallas_call(
         kernel,
         grid=grid,
@@ -660,23 +719,22 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_prims: int,
                   *aux_specs,
                   pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),    # rid_base
-                  pl.BlockSpec((nrows, num_prims), lambda i, j: (0, 0),
-                               memory_space=pltpu.VMEM),    # table
+                  table_spec,                               # table
                   pl.BlockSpec((1, 12), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),    # camera
                   pl.BlockSpec((1, 9), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)],   # light
         out_specs=(
-            pl.BlockSpec((num_prims, ntab), lambda i, j: (0, 0),
+            pl.BlockSpec((p_out, ntab), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NSCAL), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(jax.ShapeDtypeStruct((num_prims, ntab), _F32),
+        out_shape=(jax.ShapeDtypeStruct((p_out, ntab), _F32),
                    jax.ShapeDtypeStruct((1, NSCAL), _F32)),
         interpret=interpret,
     )(*g_planes, *aux_inputs, rid_base, table, cam_vec, light_vec)
-    return dtab, dscal
+    return dtab[:num_prims], dscal
 
 
 # ---------------------------------------------------------------------------
@@ -684,18 +742,18 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_prims: int,
 # backward = the kernel above.
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _attach_grad(config: RenderConfig, interpret, hdr, table, cam_vec,
-                 light_vec, aux_planes, rid_base, offsets):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _attach_grad(config: RenderConfig, interpret, grouped, hdr, table,
+                 cam_vec, light_vec, aux_planes, rid_base, offsets):
     return hdr
 
 
-def _attach_fwd(config, interpret, hdr, table, cam_vec, light_vec,
+def _attach_fwd(config, interpret, grouped, hdr, table, cam_vec, light_vec,
                 aux_planes, rid_base, offsets):
     return hdr, (table, cam_vec, light_vec, aux_planes, rid_base, offsets)
 
 
-def _attach_bwd(config, interpret, resids, g):
+def _attach_bwd(config, interpret, grouped, resids, g):
     table, cam_vec, light_vec, aux_planes, rid_base, offsets = resids
     n_local = g.shape[0] * (g.shape[1] if g.ndim == 3 else 1)
     n_padded = ((n_local + TILE - 1) // TILE) * TILE
@@ -713,11 +771,18 @@ def _attach_bwd(config, interpret, resids, g):
             -1, LANES)
     else:
         off_planes = None
+    if grouped:
+        # Transposed padded view for the block-contracted kernel; a linear
+        # re-layout, so the dtab slice maps straight back to [nrows, P].
+        p_pad = ((num_prims + PBLK - 1) // PBLK) * PBLK
+        table_in = jnp.pad(table, ((0, 0), (0, p_pad - num_prims))).T
+    else:
+        table_in = table
     dtab, dscal = _bwd_pallas(config, config.num_pixels, num_prims,
                               1 if has_spheres else 0, g_planes,
-                              aux_planes, table, cam_vec, light_vec,
+                              aux_planes, table_in, cam_vec, light_vec,
                               interpret, rid_base, n_local,
-                              offsets=off_planes)
+                              offsets=off_planes, grouped=grouped)
     zrow = jnp.zeros((1, num_prims), _F32)
     if has_spheres:
         # [n(3), c0, df(3), em(3)] + is_em(0) + [center(3), radius] + is_sph(0)
@@ -837,6 +902,7 @@ def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
         interpret = jax.default_backend() != "tpu"
     if records_only is None:
         records_only = _auto_records_only(config)
+    grouped = scene.triangles.num_triangles > STATIC_UNROLL_MAX
     hdr, aux = _render_pallas_impl(jax.lax.stop_gradient(scene), config,
                                    interpret=interpret, emit_records=True,
                                    raw_records=True,
@@ -845,8 +911,9 @@ def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
     table, cam_vec, light_vec = _pack_diff_inputs(scene, config)
     from ..render import pixel_rng_offsets
     offsets = pixel_rng_offsets(config) if records_only else None
-    return _attach_grad(config, interpret, hdr, table, cam_vec, light_vec,
-                        tuple(aux), jnp.zeros((1, 1), jnp.int32), offsets)
+    return _attach_grad(config, interpret, grouped, hdr, table, cam_vec,
+                        light_vec, tuple(aux), jnp.zeros((1, 1), jnp.int32),
+                        offsets)
 
 
 def render_path_fused_local(scene: Scene, config: RenderConfig,
@@ -861,6 +928,7 @@ def render_path_fused_local(scene: Scene, config: RenderConfig,
         interpret = jax.default_backend() != "tpu"
     if records_only is None:
         records_only = _auto_records_only(config, local_offsets.shape[0])
+    grouped = scene.triangles.num_triangles > STATIC_UNROLL_MAX
     hdr, aux = _render_pallas_impl(jax.lax.stop_gradient(scene), config,
                                    interpret=interpret, emit_records=True,
                                    raw_records=True,
@@ -870,5 +938,5 @@ def render_path_fused_local(scene: Scene, config: RenderConfig,
                                    draws=draws, occluders=occluders)
     table, cam_vec, light_vec = _pack_diff_inputs(scene, config)
     offsets = local_offsets if records_only else None
-    return _attach_grad(config, interpret, hdr, table, cam_vec, light_vec,
-                        tuple(aux), rid_base, offsets)
+    return _attach_grad(config, interpret, grouped, hdr, table, cam_vec,
+                        light_vec, tuple(aux), rid_base, offsets)

@@ -86,10 +86,12 @@ class Renderer:
 
     def draw_accumulate(self, acc=None, spp_step: Optional[int] = None):
         """Progressive rendering: one more batch of spp folded into a running
-        (sum, count) accumulator pytree. Returns (acc, resolved_hdr)."""
+        (sum, count) accumulator pytree, rendered through this Renderer's
+        selected kernel (so a resumable long render runs at kernel speed).
+        Returns (acc, resolved_hdr)."""
         from .utils.checkpoint import accumulate, init_accumulator, resolve
         if acc is None:
             acc = init_accumulator(self.config)
         acc = accumulate(self.scene, self.config, acc,
-                         spp_step or self.config.spp)
+                         spp_step or self.config.spp, kernel=self.kernel)
         return acc, resolve(acc)

@@ -7,9 +7,13 @@ marshalled into Metal buffers, every field is a dense jnp array so the whole
 scene is a pytree that can be jitted over, differentiated through, replicated
 across a device mesh, and fed to Pallas kernels.
 
-All geometry/shading math is float32; images accumulate in float32 and are
-emitted as float16/uint8 at the I/O boundary (mirrors the reference's
-rgba16Float render target, /root/reference/RTrace/renderer.swift:74-82).
+All geometry/shading math is float32; images accumulate in float32 end-to-end
+and are quantized to uint8 only at the PNG boundary (image.py). The
+reference's rgba16Float intermediate render target
+(/root/reference/RTrace/renderer.swift:74-82) has no analog here — its
+precision loss was a GPU-texture-format constraint, not a feature, so the
+TPU framework keeps the HDR buffer at full f32 (strictly more precision at
+the same uint8 output).
 """
 from __future__ import annotations
 

@@ -43,15 +43,30 @@ def init_accumulator(config: RenderConfig) -> Accumulator:
 
 
 def accumulate(scene: Scene, config: RenderConfig, acc: Accumulator,
-               spp_step: int) -> Accumulator:
+               spp_step: int, kernel: str = "jnp") -> Accumulator:
     """Render ``spp_step`` more samples and fold them into the accumulator.
 
     Sample decorrelation across steps comes from advancing the config seed,
     which re-derives the per-pixel Halton offsets (render.pixel_rng_offsets)
-    — every step draws a fresh, deterministic sample set."""
+    — every step draws a fresh, deterministic sample set.
+
+    ``kernel`` selects the render path (same choices as the CLI/Renderer):
+    ``"jnp"`` oracle, ``"pallas"`` megakernel, or ``"decoupled"`` fused
+    trace+backward — so a long progressive/resumable render runs at kernel
+    speed, not oracle speed (the accumulator pytree is identical either
+    way; each batch is a fresh one-shot render at its own seed)."""
     step_cfg = config.replace(spp=spp_step,
                               seed=config.seed + int(acc.seed_cursor))
-    hdr = render(scene, step_cfg).hdr
+    if kernel == "decoupled":
+        from ..ops import render_path_decoupled
+        assert config.integrator in ("path", "direct"), config.integrator
+        hdr = render_path_decoupled(scene, step_cfg)
+    elif kernel == "pallas":
+        from ..ops import render_path_pallas
+        assert config.integrator in ("path", "direct"), config.integrator
+        hdr = render_path_pallas(scene, step_cfg)
+    else:
+        hdr = render(scene, step_cfg).hdr
     return Accumulator(
         radiance_sum=acc.radiance_sum + hdr * spp_step,
         spp_done=acc.spp_done + spp_step,

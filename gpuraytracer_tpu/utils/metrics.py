@@ -172,6 +172,37 @@ def roofline_mis_fwd(config: RenderConfig, num_tris: int = 34,
             "t_floor_s": max(t_vpu, t_hbm), "vpu_ops": total_ops}
 
 
+def roofline_mis_bwd(config: RenderConfig, num_spheres: int = 0,
+                     chip: dict = V5E) -> dict:
+    """Floor for the record-replay MIS backward (ops/pallas_mis_bwd.py).
+
+    No ray-scene traversal loops (the records replace them); per
+    (camera ray, MIS sample) the kernel recomputes the three strategy
+    stages' continuous math and reverse-sweeps each with an in-kernel
+    jax.vjp. Counting rule: a vjp'd stage costs ~3x its forward ops
+    (recompute + reverse, matching the path-backward model's 3x_SHADE), and
+    one MIS strategy stage is ~2x a path bounce's shading (_SHADE covers
+    NEE + cosine bounce; a strategy adds the GGX BRDF, three pdf
+    evaluations, and the power heuristic — counted from
+    pallas_mis_bwd._mis_bwd_kernel's strategy closures). The chunk-split
+    one-hot fetch/accumulation matmuls ride the MXU (rounding error at
+    Cornell scale) and the int32 record planes set the HBM term."""
+    stage_fwd = 2 * _SHADE            # shading + BRDF/pdf/heuristic math
+    per_sample = 3 * (3 * stage_fwd)  # 3 strategies, vjp ~ 3x forward
+    cam_stage = 3 * 150               # camera ray + camera-hit replay
+    total_ops = (config.num_pixels * config.camera_rays
+                 * (cam_stage + (config.mis_samples // 3) * per_sample))
+    t_vpu = total_ops / (chip["clock_hz"] * chip["vpu_f32_per_cycle"])
+    # Records in: camera record + per-sample strategy records (int32), hdr
+    # cotangent in, table/scalars negligible.
+    traffic = (config.num_pixels * config.camera_rays
+               * (1 + config.mis_samples) * 4
+               + config.num_pixels * 3 * 4)
+    t_hbm = traffic / chip["hbm_bytes_per_s"]
+    return {"t_vpu_s": t_vpu, "t_hbm_s": t_hbm,
+            "t_floor_s": max(t_vpu, t_hbm), "vpu_ops": total_ops}
+
+
 def roofline_pct(measured_s: float, model: dict) -> float:
     """Achieved fraction of the modeled hardware floor, in percent."""
     return 100.0 * model["t_floor_s"] / measured_s

@@ -101,3 +101,19 @@ def test_mis_decoupled_routes_sphere_scenes_fused(sphere_scene):
     out = np.asarray(render_mis_decoupled(sphere_scene, _CFG))
     oracle = np.asarray(render_mis(sphere_scene, _CFG).hdr)
     np.testing.assert_allclose(out, oracle, atol=5e-4, rtol=1e-3)
+
+
+def test_mis_occluder_culling_preserves_render(scene, sphere_scene):
+    """The MIS kernel's light-probe occluder culling (including the culled
+    light-panel/hull triangles) changes no visibility decision: masked and
+    full-loop renders agree to compilation-variance ulps on both triangle
+    and sphere scenes (ADVICE r3 — this path was previously exercised only
+    by bench.py/CLI)."""
+    from gpuraytracer_tpu.intersect import potential_occluders
+
+    for s in (scene, sphere_scene):
+        occ = potential_occluders(s, _CFG)
+        assert not all(occ), "expected at least one culled triangle"
+        a = np.asarray(render_mis_fused(s, _CFG, occluders=occ))
+        b = np.asarray(render_mis_fused(s, _CFG))
+        np.testing.assert_allclose(a, b, atol=5e-8, rtol=1e-6)

@@ -38,6 +38,29 @@ def test_progressive_accumulation_matches_mc_statistics(scene):
     assert not np.array_equal(img, single)
 
 
+def test_progressive_fused_kernel_matches_oracle_and_resumes(scene, tmp_path):
+    """Kernel-speed progressive rendering (VERDICT r3 #5): accumulating two
+    batches through the FUSED path equals the oracle accumulation of the
+    same two seeded sample batches, and a save/load between the batches
+    changes nothing."""
+    cfg = _cfg(spp=2)
+    # Oracle accumulation of batches (seed, seed+1).
+    acc_o = ckpt.init_accumulator(cfg)
+    acc_o = ckpt.accumulate(scene, cfg, acc_o, 2, kernel="jnp")
+    acc_o = ckpt.accumulate(scene, cfg, acc_o, 2, kernel="jnp")
+    # Fused accumulation with a checkpoint/resume between the batches.
+    acc_f = ckpt.init_accumulator(cfg)
+    acc_f = ckpt.accumulate(scene, cfg, acc_f, 2, kernel="decoupled")
+    path = str(tmp_path / "acc_fused.npz")
+    ckpt.save_accumulator(path, acc_f, cfg)
+    acc_f = ckpt.load_accumulator(path, cfg)
+    acc_f = ckpt.accumulate(scene, cfg, acc_f, 2, kernel="decoupled")
+    assert int(acc_f.spp_done) == int(acc_o.spp_done) == 4
+    np.testing.assert_allclose(np.asarray(ckpt.resolve(acc_f)),
+                               np.asarray(ckpt.resolve(acc_o)),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_checkpoint_roundtrip(scene, tmp_path):
     cfg = _cfg()
     acc = ckpt.accumulate(scene, cfg, ckpt.init_accumulator(cfg), 4)
