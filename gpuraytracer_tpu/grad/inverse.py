@@ -92,12 +92,22 @@ def fast_pixel_loss(params: SceneParams, scene: Scene, config: RenderConfig,
 
 
 def soft_pixel_loss(params: SceneParams, scene: Scene, config: RenderConfig,
-                    target: jnp.ndarray, kappa: float = 0.05) -> jnp.ndarray:
-    """Pixel loss through the edge-aware renderer (diff_render.py): same
-    forward value, plus sphere-silhouette gradient terms — required for
-    geometry (sphere-center) recovery."""
-    from .diff_render import render_direct_soft
-    img = render_direct_soft(apply_params(scene, params), config, kappa)
+                    target: jnp.ndarray, kappa: float = 0.05,
+                    fast: bool = False, occluders=None) -> jnp.ndarray:
+    """Pixel loss through the edge-aware renderer: same forward value as
+    the hard render, plus sphere-silhouette gradient terms — required for
+    geometry (sphere-center) recovery. ``fast=True`` routes through the
+    fused silhouette kernel pair (ops/pallas_soft.py — trace + silhouette
+    records + in-kernel-vjp backward) at kernel speed with the SAME
+    estimator; ``fast=False`` is the jnp oracle (diff_render.py)."""
+    s = apply_params(scene, params)
+    if fast:
+        from ..ops.pallas_soft import render_direct_soft_fused
+        img = render_direct_soft_fused(s, config, kappa,
+                                       occluders=occluders)
+    else:
+        from .diff_render import render_direct_soft
+        img = render_direct_soft(s, config, kappa)
     return jnp.mean((img - target) ** 2)
 
 
@@ -148,7 +158,12 @@ def inverse_render(
     else:
         opt = optax.adam(learning_rate)
     if soft:
-        loss_fn = partial(soft_pixel_loss, kappa=kappa)
+        # No occluder mask here even when fast: geometry-recovery
+        # trajectories can transiently overshoot any fixed sphere_slack
+        # (momentum + plateau noise), and a stale mask then corrupts the
+        # silhouette gradients permanently. Sphere scenes have ~12
+        # triangles — the uncd shadow loop costs almost nothing.
+        loss_fn = partial(soft_pixel_loss, kappa=kappa, fast=fast)
     elif fast:
         from ..intersect import potential_occluders
         from ..ops.pallas_path import pregen_draws

@@ -82,7 +82,11 @@ SROWS = 4
 
 
 def _normalize3(x, y, z):
-    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    # 1e-12 floor (matches sampling.normalize): rsqrt's VJP overflows f32
+    # below ~1e-24 — the in-kernel jax.vjp of the half-vector
+    # normalize3(v + l) hit it on real TPUs when v ~ -l on masked lanes
+    # (inf, then 0 * inf = NaN through the reverse sweep).
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-12))
     return x * inv, y * inv, z * inv
 
 

@@ -148,7 +148,10 @@ def _halton_tile(i: jnp.ndarray, d: int) -> jnp.ndarray:
 
 
 def _normalize3(x, y, z):
-    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    # 1e-12 floor, matching sampling.normalize: rsqrt's VJP overflows f32
+    # below ~1e-24 (inf, then 0 * inf = NaN through in-kernel vjp on
+    # masked lanes — seen on real TPUs in the MIS backward).
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-12))
     return x * inv, y * inv, z * inv
 
 

@@ -37,7 +37,12 @@ def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize(v: jnp.ndarray) -> jnp.ndarray:
-    return v * jax.lax.rsqrt(jnp.maximum(dot(v, v), 1e-30))[..., None]
+    # 1e-12 floor (not 1e-30): rsqrt's VJP is -0.5 u^-1.5, which OVERFLOWS
+    # f32 at u = 1e-30 (1e45 -> inf, and 0 * inf = NaN on masked lanes in
+    # reverse mode). At 1e-12 the VJP stays finite; live vectors have
+    # |v|^2 >= ~1e-8, so values are identical. Kernels use the same floor
+    # (pallas_path._normalize3) — oracle/kernel parity.
+    return v * jax.lax.rsqrt(jnp.maximum(dot(v, v), 1e-12))[..., None]
 
 
 def saturate(x: jnp.ndarray) -> jnp.ndarray:
@@ -233,10 +238,20 @@ def next_power_of_two(n: int) -> int:
 def power_heuristic_3(pdf1, pdf2, pdf3, samples_per_strategy, beta=1.0):
     """3-strategy power heuristic with per-strategy sample count
     (shaders.metal:132-137). The reference defines beta=2.0 as default but
-    every call site passes 1.0 (shaders.metal:534,574,606)."""
+    every call site passes 1.0 (shaders.metal:534,574,606).
+
+    beta == 1 skips ``jnp.power`` entirely (value-identical: x^1 = x):
+    power's VJP is beta*x^(beta-1), and x^0 lowers to exp(0 * log(x)) on
+    TPU — NaN at x = 0, which cosine_pdf produces on every backfacing
+    lane. (CPU constant-folds the pow away, so only real-TPU gradient runs
+    ever saw it: tests/test_tpu_hw.py.)"""
     n = _F32(samples_per_strategy)
-    p1 = jnp.power(n * pdf1, beta)
-    s = p1 + jnp.power(n * pdf2, beta) + jnp.power(n * pdf3, beta)
+    if isinstance(beta, (int, float)) and float(beta) == 1.0:
+        p1 = n * pdf1
+        s = p1 + n * pdf2 + n * pdf3
+    else:
+        p1 = jnp.power(n * pdf1, beta)
+        s = p1 + jnp.power(n * pdf2, beta) + jnp.power(n * pdf3, beta)
     return p1 / (s + 1e-6)
 
 
@@ -468,11 +483,12 @@ def fd_lambert() -> float:
 
 
 def _safe_normalize(v: jnp.ndarray) -> jnp.ndarray:
-    """normalize with a 1e-30 norm floor — value-identical to plain
-    normalize for any non-degenerate vector, but keeps 0/0 out of primal
-    and reverse mode on masked lanes (same floor as the kernels'
+    """normalize with a 1e-12 norm floor — value-identical to plain
+    normalize for any non-degenerate vector, but keeps 0/0 AND
+    f32-overflowing sqrt VJPs (see ``normalize``) out of primal and
+    reverse mode on masked lanes (same floor as the kernels'
     _normalize3)."""
-    return v / jnp.sqrt(jnp.maximum(dot(v, v), 1e-30))[..., None]
+    return v / jnp.sqrt(jnp.maximum(dot(v, v), 1e-12))[..., None]
 
 
 def vndf_dir(view_dir: jnp.ndarray, normal: jnp.ndarray,
