@@ -129,10 +129,11 @@ def _ortho_basis(nx, ny, nz):
 
 
 def _d_ggx(n_dot_h, a):
-    # +1e-20: AD-safety against 0/0 on masked roughness-0 lanes (mirrors
-    # sampling.d_ggx exactly — oracle/kernel parity).
+    # +1e-12: AD-safety against 0/0 on masked roughness-0 lanes (mirrors
+    # sampling.d_ggx exactly — oracle/kernel parity; 1e-20 underflows to
+    # zero when the division's VJP squares it).
     f = (n_dot_h * a * a - n_dot_h) * n_dot_h + 1.0
-    return (a * a) / (_F32(PI) * f * f + 1e-20)
+    return (a * a) / (_F32(PI) * f * f + 1e-12)
 
 
 def _smith_g1(n_dot_v, roughness):

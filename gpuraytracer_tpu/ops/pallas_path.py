@@ -489,16 +489,22 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         else:
             n_groups = shadow_ref.shape[1] // GROUP
 
-            def group_body(g, occ_c):
+            # The running-OR carries as f32 0/1, not bool: Mosaic cannot
+            # legalize i1-vector loop carries in scf.for (the closest
+            # loop's f32 carries are fine).
+            def group_body(g, occ_f):
                 base = g * GROUP
+                occ_c = occ_f > 0.5
                 for k in range(GROUP):
                     idx = base + k
                     row = tuple(shadow_ref[r, idx] for r in range(12))
                     occ_c = _tri_shadow_step(row, ox, oy, oz, dx, dy, dz,
                                              t_max, occ_c)
-                return occ_c
+                return jnp.where(occ_c, 1.0, 0.0)
 
-            occ = jax.lax.fori_loop(0, n_groups, group_body, occ)
+            occ_f = jax.lax.fori_loop(0, n_groups, group_body,
+                                      jnp.where(occ, 1.0, 0.0))
+            occ = occ_f > 0.5
         for sph in sphs:
             pos, t1, t2 = sphere_roots(sph, ox, oy, oz, dx, dy, dz)
             t1_ok = (t1 > 0.0) & (t1 < t_max)

@@ -454,11 +454,15 @@ def smith_g1_ggx(n_dot_v: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
 def d_ggx(n_dot_h: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     """GGX NDF. NOTE: the reference passes *roughness* (not roughness^2) as
     ``a`` at every call site (shaders.metal:273,442) — replicated.
-    The +1e-20 keeps 0/0 (a == 0 with n.h == 1, reachable only on masked
-    lanes) finite in primal and reverse; live lanes have f^2 >= ~1e-8."""
+    The +1e-12 keeps 0/0 (a == 0 with n.h == 1, reachable only on masked
+    lanes) finite in primal AND reverse: the division's VJP squares the
+    denominator, so a 1e-20 guard underflows to 0 there (inf, then
+    0 * inf = NaN on masked lanes — same f32-overflow class as the
+    normalize floors). Live lanes have pi*f^2 >= ~3e-8, so values are
+    identical."""
     a2 = a * a
     f = (n_dot_h * a2 - n_dot_h) * n_dot_h + 1.0
-    return a2 / (math.pi * f * f + 1e-20)
+    return a2 / (math.pi * f * f + 1e-12)
 
 
 def f_schlick(l_dot_h: jnp.ndarray, f0: jnp.ndarray) -> jnp.ndarray:
