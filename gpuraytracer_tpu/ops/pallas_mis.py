@@ -276,28 +276,69 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         t2 = (-b + sq) / (2.0 * a)
         return pos, t1, t2
 
-    def closest_full(ox, oy, oz, dx, dy, dz):
+    def precompute_origin(ox, oy, oz):
+        """Per-primitive origin dot products for a FIXED ray origin —
+        hoisted out of the sample loop when every sample's secondary rays
+        start from the same (camera-hit) point. The expression trees are
+        identical to the in-loop forms (num = c0 - (o.n); u = (o.s1) + ...
+        - c1), so reusing them is bit-identical hoisting, not a
+        reassociation — decisions cannot move. Saves ~15 VPU ops per
+        triangle (and the whole quadratic setup per sphere) per closest
+        test, x (2 closest + 1 probe) x samples."""
+        pre_t = []
+        for tri in tris:
+            nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2 = tri
+            pre_t.append((ox * nx + oy * ny + oz * nz,
+                          ox * s1x + oy * s1y + oz * s1z,
+                          ox * s2x + oy * s2y + oz * s2z))
+        pre_s = []
+        for sph in sphs:
+            scx, scy, scz, rad = sph[:4]
+            ocx, ocy, ocz = ox - scx, oy - scy, oz - scz
+            pre_s.append((ocx, ocy, ocz,
+                          (ocx * ocx + ocy * ocy + ocz * ocz) - rad * rad))
+        return pre_t, pre_s
+
+    def sphere_roots_pre(pre, dx, dy, dz):
+        """sphere_roots with the origin terms precomputed (bit-identical
+        op order: b = 2 (oc.d), c = oc.oc - r^2 reused)."""
+        ocx, ocy, ocz, c = pre
+        a = dx * dx + dy * dy + dz * dz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        disc = b * b - 4.0 * a * c
+        pos = disc > 0.0
+        sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+        t1 = (-b - sq) / (2.0 * a)
+        t2 = (-b + sq) / (2.0 * a)
+        return pos, t1, t2
+
+    def closest_full(ox, oy, oz, dx, dy, dz, pre=None):
         """Closest hit returning full shading attrs. Only (t_best, prim_f)
         are carried through the primitive loop; the attribute planes come
         from one post-loop one-hot [NATTR, P] @ [P, TILE] MXU matmul —
         exact for 0/1 one-hot operands under HIGHEST (same trick as
-        pallas_path.closest)."""
+        pallas_path.closest). ``pre``: precompute_origin result for this
+        exact origin (bit-identical diet for per-sample calls)."""
         t_best = jnp.full((RAY_SUB, LANES), BIG, _F32)
         prim_f = t_best * 0.0 - 1.0
         for t_idx, tri in enumerate(tris):
             nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2 = tri
+            if pre is None:
+                on = ox * nx + oy * ny + oz * nz
+                a1 = ox * s1x + oy * s1y + oz * s1z
+                a2 = ox * s2x + oy * s2y + oz * s2z
+            else:
+                on, a1, a2 = pre[0][t_idx]
             den = dx * nx + dy * ny + dz * nz
-            num = c0 - (ox * nx + oy * ny + oz * nz)
+            num = c0 - on
             ok = jnp.abs(den) >= 1e-12
             # Raw divide: guarded lanes produce Inf/NaN, every comparison on
             # them is false, and ``ok`` stays in the accept mask — decisions
             # (and winning-lane t values) exactly match the oracle's
             # selected-divide form at one fewer select per primitive.
             tt = num / den
-            u = (ox * s1x + oy * s1y + oz * s1z) \
-                + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
-            v = (ox * s2x + oy * s2y + oz * s2z) \
-                + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
+            u = a1 + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
+            v = a2 + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
             closer = (ok & (tt > RAY_TMIN) & (tt < RAY_TMAX)
                       & (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0)
                       & (tt < t_best))
@@ -306,7 +347,10 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         # Analytic spheres after triangles (ties keep the triangle, like the
         # oracle's first-min argmin over [tris..., spheres...]).
         for s_idx, sph in enumerate(sphs):
-            spos, t1, t2 = sphere_roots(sph, ox, oy, oz, dx, dy, dz)
+            if pre is None:
+                spos, t1, t2 = sphere_roots(sph, ox, oy, oz, dx, dy, dz)
+            else:
+                spos, t1, t2 = sphere_roots_pre(pre[1][s_idx], dx, dy, dz)
             t1_ok = (t1 > RAY_TMIN) & (t1 < RAY_TMAX)
             t2_ok = (t2 > RAY_TMIN) & (t2 < RAY_TMAX)
             tt = jnp.where(t1_ok, t1, t2)
@@ -341,34 +385,45 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         return (hit, t_best, prim_f, nhx, nhy, nhz, at[3], at[4], at[5],
                 at[6], at[7], at[8])
 
-    def light_reachable(ox, oy, oz, dx, dy, dz, t_max):
+    probe_indices = (list(range(num_tris)) if occluders is None else
+                     [i for i in range(num_tris) if occluders[i]])
+
+    def light_reachable(ox, oy, oz, dx, dy, dz, t_max, pre=None):
         """No occluder strictly short of the light-sample distance — the
         well-conditioned form of the reference's closest-hit-is-emissive
         probe (shaders.metal:519-541; see render._direct_light_contribution
         for why). Single running tile. ``occluders`` statically culls
         triangles that provably cannot block a surface->light segment
-        (intersect.potential_occluders); decisions are bit-identical."""
+        (intersect.potential_occluders); decisions are bit-identical.
+        ``pre``: precompute_origin for this exact origin (indexed by the
+        ORIGINAL primitive id — the cull only selects rows)."""
         occ = jnp.zeros((RAY_SUB, LANES), bool)
-        probe_tris = (tris if occluders is None else
-                      [t for i, t in enumerate(tris) if occluders[i]])
-        for tri in probe_tris:
+        for t_idx in probe_indices:
+            tri = tris[t_idx]
             nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2 = tri[:12]
+            if pre is None:
+                on = ox * nx + oy * ny + oz * nz
+                a1 = ox * s1x + oy * s1y + oz * s1z
+                a2 = ox * s2x + oy * s2y + oz * s2z
+            else:
+                on, a1, a2 = pre[0][t_idx]
             den = dx * nx + dy * ny + dz * nz
-            num = c0 - (ox * nx + oy * ny + oz * nz)
+            num = c0 - on
             ok = jnp.abs(den) >= 1e-12
             # Raw divide: guarded lanes produce Inf/NaN, every comparison on
             # them is false, and ``ok`` stays in the accept mask — decisions
             # (and winning-lane t values) exactly match the oracle's
             # selected-divide form at one fewer select per primitive.
             tt = num / den
-            u = (ox * s1x + oy * s1y + oz * s1z) \
-                + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
-            v = (ox * s2x + oy * s2y + oz * s2z) \
-                + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
+            u = a1 + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
+            v = a2 + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
             occ = occ | (ok & (tt > RAY_TMIN) & (tt < t_max)
                          & (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0))
-        for sph in sphs:
-            spos, t1, t2 = sphere_roots(sph, ox, oy, oz, dx, dy, dz)
+        for s_idx, sph in enumerate(sphs):
+            if pre is None:
+                spos, t1, t2 = sphere_roots(sph, ox, oy, oz, dx, dy, dz)
+            else:
+                spos, t1, t2 = sphere_roots_pre(pre[1][s_idx], dx, dy, dz)
             t1_ok = (t1 > RAY_TMIN) & (t1 < t_max)
             t2_ok = (t2 > RAY_TMIN) & (t2 < t_max)
             occ = occ | (spos & (t1_ok | t2_ok))
@@ -385,9 +440,11 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
     def direct_light(p_x, p_y, p_z, nx, ny, nz, inx, iny, inz,
                      dfr, dfg, dfb, met, rgh, u0, u1, active,
-                     use_heuristic):
+                     use_heuristic, pre=None):
         """calculateDirectLightSamplingContribution (shaders.metal:519-541).
-        ``u0, u1`` are SMEM scalars; the light sample point is scalar too."""
+        ``u0, u1`` are SMEM scalars; the light sample point is scalar too.
+        ``pre``: precompute_origin for (p + n*1e-4) when the origin is
+        sample-invariant (strategy 1 from the camera hit)."""
         ox = p_x + nx * 1e-4
         oy = p_y + ny * 1e-4
         oz = p_z + nz * 1e-4
@@ -405,7 +462,7 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         ldx, ldy, ldz = tox / dist, toy / dist, toz / dist
         pdf_l = square_light_pdf(p_x, p_y, p_z, ldx, ldy, ldz)
         reach = light_reachable(ox, oy, oz, ldx, ldy, ldz,
-                                dist * (1.0 - 1e-4))
+                                dist * (1.0 - 1e-4), pre=pre)
         hit_light = active & reach
         vx, vy, vz = -inx, -iny, -inz
         br, bg, bb = _brdf(vx, vy, vz, nx, ny, nz, dfr, dfg, dfb, met, rgh,
@@ -426,15 +483,17 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
 
     def bounce_strategy(p_x, p_y, p_z, nx, ny, nz, inx, iny, inz,
                         dfr, dfg, dfb, met, rgh, active,
-                        sdx, sdy, sdz, pdf_self, w, su0, su1):
+                        sdx, sdy, sdz, pdf_self, w, su0, su1, pre=None):
         """Shared cosine/VNDF body (shaders.metal:562-623). Returns the rgb
         contribution plus the discrete decisions (winning prim, secondary
-        light reach) for the record stream."""
+        light reach) for the record stream. ``pre``: precompute_origin for
+        (p + n*1e-4) — the same sample-invariant origin as strategy 1's
+        probe."""
         ox = p_x + nx * 1e-4
         oy = p_y + ny * 1e-4
         oz = p_z + nz * 1e-4
         (hit, t2, prim2, n2x, n2y, n2z, d2r, d2g, d2b, m2, r2,
-         isem2) = closest_full(ox, oy, oz, sdx, sdy, sdz)
+         isem2) = closest_full(ox, oy, oz, sdx, sdy, sdz, pre=pre)
         vx, vy, vz = -inx, -iny, -inz
         br, bg, bb = _brdf(vx, vy, vz, nx, ny, nz, dfr, dfg, dfb, met, rgh,
                            sdx, sdy, sdz)
@@ -504,6 +563,14 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         p_y = oy + dy * t_safe
         p_z = oz + dz * t_safe
 
+        # The secondary/probe origin (p + n*1e-4) is the SAME for every
+        # sample of this camera ray — hoist its per-primitive dot products
+        # out of the sample loop (precompute_origin: bit-identical values,
+        # ~15 fewer VPU ops per triangle per closest/probe test, the
+        # single biggest per-sample cost).
+        pre_off = precompute_origin(p_x + nhx * 1e-4, p_y + nhy * 1e-4,
+                                    p_z + nhz * 1e-4)
+
         def one_sample(s_i32, c3):
             m_r, m_g, m_b = c3
             tab = [tab_ref[k, s_i32] for k in range(NTAB)]
@@ -512,7 +579,7 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             s1r, s1g, s1b, reach1 = direct_light(
                 p_x, p_y, p_z, nhx, nhy, nhz, dx, dy, dz,
                 dfr, dfg, dfb, met, rgh, tab[TAB_LU0], tab[TAB_LU1],
-                surf, True)
+                surf, True, pre=pre_off)
 
             vx, vy, vz = -dx, -dy, -dz
             tx, ty, tz, bx, by, bz = _ortho_basis(nhx, nhy, nhz)
@@ -533,7 +600,8 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             s2r, s2g, s2b, prim_c, reach2 = bounce_strategy(
                 p_x, p_y, p_z, nhx, nhy, nhz, dx, dy, dz,
                 dfr, dfg, dfb, met, rgh, surf,
-                cdx, cdy, cdz, pdf_c, w_c, tab[TAB_CSU0], tab[TAB_CSU1])
+                cdx, cdy, cdz, pdf_c, w_c, tab[TAB_CSU0], tab[TAB_CSU1],
+                pre=pre_off)
 
             # Strategy 3: VNDF (vndfRay, shaders.metal:382-435).
             alpha = rgh * rgh
@@ -573,7 +641,8 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             s3r, s3g, s3b, prim_v, reach3 = bounce_strategy(
                 p_x, p_y, p_z, nhx, nhy, nhz, dx, dy, dz,
                 dfr, dfg, dfb, met, rgh, surf,
-                vdx, vdy, vdz, pdf_v2, w_v, tab[TAB_VSU0], tab[TAB_VSU1])
+                vdx, vdy, vdz, pdf_v2, w_v, tab[TAB_VSU0], tab[TAB_VSU1],
+                pre=pre_off)
 
             if emit_records:
                 # All terms < 2^24: exact in f32 before the int cast.

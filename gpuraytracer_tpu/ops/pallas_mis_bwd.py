@@ -143,18 +143,24 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
         return prim >= 0, onehot, at.reshape(ndif, RAY_SUB, LANES)
 
     def accum_tab(dtab_acc, onehot, d_at):
-        """Cotangent accumulation with the two-chunk split (hi = bf16(d) as
-        an exact product + the residual, truncated by DEFAULT's own bf16
-        rounding to <=2^-18 rel per partial — far inside the grad-parity
-        tolerance; exact in interpret mode where matmuls stay f32)."""
+        """Cotangent accumulation with the THREE-chunk bf16 split: every
+        f32 splits exactly into 3 bf16 chunks, the one-hot is 0/1, and the
+        MXU accumulates in f32 — HIGHEST-equivalent accuracy at half its
+        passes. (The round-3 two-chunk variant truncated the residual to
+        <=2^-18 rel per partial; the round-4 TPU-hardware parity tier
+        measured that near-cancelling partials amplify exactly that
+        truncation — see pallas_shade.py's matching note.)"""
         d = d_at.reshape(ndif, TILE)
         p0 = d.astype(jnp.bfloat16).astype(_F32)
-        planes6 = jnp.concatenate([p0, d - p0], axis=0)  # [2*ndif, TILE]
+        pr = d - p0
+        p1 = pr.astype(jnp.bfloat16).astype(_F32)
+        planes9 = jnp.concatenate([p0, p1, pr - p1], axis=0)  # [3*ndif, T]
         part = jax.lax.dot_general(
-            onehot, planes6, (((1,), (1,)), ((), ())),
+            onehot, planes9, (((1,), (1,)), ((), ())),
             preferred_element_type=_F32,
-            precision=jax.lax.Precision.DEFAULT)  # [P, 2*ndif]
-        return dtab_acc + (part[:, :ndif] + part[:, ndif:])
+            precision=jax.lax.Precision.DEFAULT)  # [P, 3*ndif]
+        return dtab_acc + (part[:, :ndif] + part[:, ndif:2 * ndif]
+                           + part[:, 2 * ndif:])
 
     def sphere_t(at_, ox, oy, oz, dx, dy, dz, tt_plane):
         """Select the analytic sphere root on is_sphere lanes (mirrors
