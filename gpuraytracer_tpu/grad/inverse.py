@@ -132,6 +132,7 @@ def inverse_render(
     kappa: float = 0.05,
     fast: bool = False,
     sphere_slack: float = 0.5,
+    hoist: bool = True,
 ) -> InverseResult:
     """Gradient-descent recovery of scene parameters from a target image.
 
@@ -148,7 +149,9 @@ def inverse_render(
     occluder mask (``intersect.potential_occluders`` built with
     ``sphere_slack`` of center-motion headroom, so the mask stays
     conservative for every iterate the optimizer can reach; raise
-    ``sphere_slack`` if recovering shifts larger than it)."""
+    ``sphere_slack`` if recovering shifts larger than it). ``hoist=False``
+    disables both (benchmark knob — quantifies what XLA's sinking of the
+    pregen into the scan body costs; see benchmarks/bench_config4.py)."""
     import optax
 
     if optimizer is not None:
@@ -165,12 +168,16 @@ def inverse_render(
         # triangles — the uncd shadow loop costs almost nothing.
         loss_fn = partial(soft_pixel_loss, kappa=kappa, fast=fast)
     elif fast:
-        from ..intersect import potential_occluders
-        from ..ops.pallas_path import pregen_draws
-        from ..ops.pallas_shade import _auto_records_only
-        occluders = potential_occluders(scene, config,
-                                        sphere_slack=sphere_slack)
-        draws = None if _auto_records_only(config) else pregen_draws(config)
+        if hoist:
+            from ..intersect import potential_occluders
+            from ..ops.pallas_path import pregen_draws
+            from ..ops.pallas_shade import _auto_records_only
+            occluders = potential_occluders(scene, config,
+                                            sphere_slack=sphere_slack)
+            draws = (None if _auto_records_only(config)
+                     else pregen_draws(config))
+        else:
+            draws = occluders = None
         loss_fn = partial(fast_pixel_loss, draws=draws, occluders=occluders)
     else:
         loss_fn = pixel_loss

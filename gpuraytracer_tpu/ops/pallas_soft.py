@@ -209,8 +209,11 @@ def _silh_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         t1ok = (t1_0 > RAY_TMIN) & (t1_0 < RAY_TMAX)
         t2ok = (t2_0 > RAY_TMIN) & (t2_0 < RAY_TMAX)
         tt0 = jnp.where(t1ok, t1_0, t2_0)
-        valid_b = pos0 & (t1ok | t2ok)
-        masked_b = jnp.where(valid_b, tt0, _F32(1e30))
+        valid_0 = pos0 & (t1ok | t2ok)
+        masked_b = jnp.where(valid_0, tt0, _F32(1e30))
+        # Validity carried as f32 0/1: Mosaic cannot lower selects over
+        # i1 vectors (arith.trunci i8->i1).
+        valid_b_f = jnp.where(valid_0, 1.0, 0.0)
         s_f = jnp.zeros((RAY_SUB, LANES), _F32)
         t_s = tt0
         for s_idx in range(1, num_spheres):
@@ -223,11 +226,12 @@ def _silh_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             masked_i = jnp.where(valid_i, tt_i, _F32(1e30))
             closer = masked_i < masked_b
             masked_b = jnp.where(closer, masked_i, masked_b)
-            valid_b = jnp.where(closer, valid_i, valid_b)
+            valid_b_f = jnp.where(closer, jnp.where(valid_i, 1.0, 0.0),
+                                  valid_b_f)
             t_s = jnp.where(closer, tt_i, t_s)
             s_f = jnp.where(closer, _F32(s_idx), s_f)
 
-        sphere_front = valid_b & (t_s < t_bg)
+        sphere_front = (valid_b_f > 0.5) & (t_s < t_bg)
 
         # Candidate sphere's center/radius via the winning index (static
         # select chain over the small sphere set; zero + scalar = splat).
