@@ -11,10 +11,10 @@ Times the inverse-rendering optimizer step (render + pixel loss + backward
 
 Workload: cornell_box_with_spheres at 256^2; path spp4/bounce2 for the
 interior estimators, direct spp4 for the silhouette estimator (its scope).
-Timing: the whole N-step loop is one jitted lax.scan (inverse_render);
-every inverse_render CALL re-traces its closure, so the per-step time is
-the (long - short)-run delta, which cancels the per-call trace +
-executable-load overhead. Min over 3 trials per length.
+Timing: one PERSISTENT jitted 500-step lax.scan per estimator, min over
+5 calls of the same executable. (Calling inverse_render per trial
+re-traces its closure each time, and the dev transport adds seconds of
+per-call variance — both would swamp a sub-ms step.)
 """
 import sys
 import time
@@ -30,8 +30,7 @@ from gpuraytracer_tpu.scene import cornell_box_with_spheres
 from gpuraytracer_tpu.types import RenderConfig
 from gpuraytracer_tpu.utils.cache import enable_compilation_cache
 
-STEPS_SHORT = 10
-STEPS_LONG = 510
+STEPS_LONG = 500
 
 
 def main():

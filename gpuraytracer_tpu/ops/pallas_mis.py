@@ -497,7 +497,12 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         vx, vy, vz = -inx, -iny, -inz
         br, bg, bb = _brdf(vx, vy, vz, nx, ny, nz, dfr, dfg, dfb, met, rgh,
                            sdx, sdy, sdz)
-        inv_pdf = 1.0 / pdf_self
+        # Double-where reciprocal (mirrors render._bounce_strategy): the
+        # VNDF pdf is exactly 0 on roughness-0 lanes; 1/0 = inf would make
+        # the weighted product NaN in reverse mode (real-TPU finding).
+        pdf_ok = pdf_self > 0.0
+        inv_pdf = jnp.where(pdf_ok, 1.0 / jnp.where(pdf_ok, pdf_self, 1.0),
+                            0.0)
 
         hit_light = active & hit & (isem2 > 0.5)
         ltr = w * br * ler * inv_pdf

@@ -312,7 +312,11 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
         vx, vy, vz = -dx, -dy, -dz
         br, bg, bb = _brdf(vx, vy, vz, nhx, nhy, nhz,
                            dfr, dfg, dfb, met, rgh, sdx, sdy, sdz)
-        inv_pdf = 1.0 / pdf_self
+        # Double-where reciprocal (mirrors the trace kernel / oracle —
+        # pdf == 0 on roughness-0 lanes must yield a 0 term, not 0 * inf).
+        pdf_ok = pdf_self > 0.0
+        inv_pdf = jnp.where(pdf_ok, 1.0 / jnp.where(pdf_ok, pdf_self, 1.0),
+                            0.0)
 
         hit_light = surf & hit2 & (at2[9] > 0.5)
         ltr = w * br * ler * inv_pdf

@@ -263,7 +263,17 @@ def _bounce_strategy(
     h = closest_hit(compiled, origin, sample_dir, RAY_TMIN, RAY_TMAX, spheres)
     brdf = brdf_contribution(in_dir, normal, diffuse, metallic, roughness,
                              sample_dir)
-    inv_pdf = 1.0 / pdf_self[..., None]
+    # Double-where reciprocal: the VNDF pdf is EXACTLY 0 on roughness-0
+    # lanes (d_ggx's numerator is a^2), and 1/0 = inf there turns the
+    # MIS-weighted product into 0 * inf = NaN — gated out of the primal
+    # image but poisoning every gradient that flows through the product
+    # (found by the real-TPU parity tier; the reference's per-thread
+    # control flow never evaluates these lanes at all). pdf == 0 always
+    # implies weight == 0, so the term is 0 by the estimator's 0*(x/0):=0
+    # convention — inv_pdf := 0 realizes exactly that.
+    pdf_ok = pdf_self > 0.0
+    inv_pdf = jnp.where(pdf_ok, 1.0 / jnp.where(pdf_ok, pdf_self, 1.0),
+                        0.0)[..., None]
 
     hit_light = active & h.hit & h.is_emissive
     light_term = weight[..., None] * brdf * light.emitted_radiance * inv_pdf

@@ -98,12 +98,25 @@ for group, tol in PATH_CHECKS:
 cfg_m = RenderConfig(width=64, height=64, integrator="mis", camera_rays=2,
                      mis_samples=6, pixel_chunk=4096)
 g_f, g_o = grads(render_mis_fused, lambda s, c: render_mis(s, c).hdr, cfg_m)
+# Forward decision-flip evidence: pixels where the two implementations'
+# closest-hit/probe decisions diverged at an FP knife edge show large
+# localized value differences — those same pixels carry bodily different
+# (but individually valid) geometry subgradients, which is what the ~1e-1
+# geometry-group deviations below are. NaN-freedom is the asserted part.
+h_f = np.asarray(jax.jit(lambda s: render_mis_fused(s, cfg_m))(scene))
+h_o = np.asarray(jax.jit(lambda s: render_mis(s, cfg_m).hdr)(scene))
+flips = int((np.abs(h_f - h_o).max(axis=-1) > 1e-3).sum())
+print(f"mis   forward decision-flip pixels (|d|>1e-3): {flips} / "
+      f"{64 * 64}", flush=True)
 for group in MIS_GROUPS:
     r, nn = rel(g_f, g_o, group)
     if r is None:
         continue
+    status = "OK" if nn == 0 else "FAIL"
+    if nn:
+        failed.append(("mis-nan", group, float(r)))
     print(f"mis   {group:25s} max|d|/scale = {r:.3e} nan_fused={nn} "
-          f"REPORT-ONLY", flush=True)
+          f"{status} (deviation report-only)", flush=True)
 
 if failed:
     print(f"TPU_GRAD_PARITY_FAILED {failed}", flush=True)
