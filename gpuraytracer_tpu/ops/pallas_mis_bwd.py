@@ -345,8 +345,7 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
     def gated(rgb, m):
         return tuple(jnp.where(surf, c * (m * inv_s), 0.0) for c in rgb)
 
-    def strategy1(tabsc, reach1, at_cam_, camp_, lightp_):
-        cs = cam_stage(at_cam_, camp_)
+    def strategy1(tabsc, reach1, cs, lightp_):
         (dx, dy, dz, p_x, p_y, p_z, nhx, nhy, nhz,
          dfr, dfg, dfb, met, rgh) = cs
         rgb = direct_light(
@@ -355,8 +354,7 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
             reach1, surf, True)
         return gated(rgb, m1)
 
-    def strategy2(tabsc, reach2, hit_c, at_cam_, at_c_, camp_, lightp_):
-        cs = cam_stage(at_cam_, camp_)
+    def strategy2(tabsc, reach2, hit_c, cs, at_c_, lightp_):
         (dx, dy, dz, p_x, p_y, p_z, nhx, nhy, nhz,
          dfr, dfg, dfb, met, rgh) = cs
         vx, vy, vz = -dx, -dy, -dz
@@ -378,8 +376,7 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
                               tabsc[TAB_CSU0], tabsc[TAB_CSU1])
         return gated(rgb, m2)
 
-    def strategy3(tabsc, reach3, hit_v, at_cam_, at_v_, camp_, lightp_):
-        cs = cam_stage(at_cam_, camp_)
+    def strategy3(tabsc, reach3, hit_v, cs, at_v_, lightp_):
         (dx, dy, dz, p_x, p_y, p_z, nhx, nhy, nhz,
          dfr, dfg, dfb, met, rgh) = cs
         vx, vy, vz = -dx, -dy, -dz
@@ -419,8 +416,16 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
                               tabsc[TAB_VSU0], tabsc[TAB_VSU1])
         return gated(rgb, m3)
 
+    # The camera stage is SAMPLE-INVARIANT: run its forward + linearization
+    # ONCE per (tile, camera ray), thread its outputs ``cs`` into the
+    # strategy vjps as a differentiable input, and apply its vjp once to
+    # the sample-accumulated cs-cotangents at the end (vjps are linear in
+    # the cotangent, so this is exactly the same gradient at 1/s_per the
+    # camera-stage work and far fewer live residuals per strategy sweep).
+    cs, vjp_cam_stage = jax.vjp(cam_stage, at_cam, camp0)
+
     def one_sample(s_i32, carry):
-        d_at_cam, dtab_acc, dcamp, dlightp = carry
+        d_cs, dtab_acc, dlightp = carry
         tabsc = [stab_ref[k, s_i32] for k in range(NTAB)]
         srec = srec_ref[pl.ds(s_i32 * RAY_SUB, RAY_SUB), :]
         reach1 = (srec & 1) == 1
@@ -432,23 +437,22 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
         hit_v, onehot_v, at_v = fetch(code_v)
 
         _, vjp1 = jax.vjp(partial(strategy1, tabsc, reach1),
-                          at_cam, camp0, lightp0)
-        da1, dc1, dl1 = vjp1(g3)
+                          cs, lightp0)
+        dcs1, dl1 = vjp1(g3)
         _, vjp2 = jax.vjp(partial(strategy2, tabsc, reach2, hit_c),
-                          at_cam, at_c, camp0, lightp0)
-        da2, d_at_c, dc2, dl2 = vjp2(g3)
+                          cs, at_c, lightp0)
+        dcs2, d_at_c, dl2 = vjp2(g3)
         _, vjp3 = jax.vjp(partial(strategy3, tabsc, reach3, hit_v),
-                          at_cam, at_v, camp0, lightp0)
-        da3, d_at_v, dc3, dl3 = vjp3(g3)
+                          cs, at_v, lightp0)
+        dcs3, d_at_v, dl3 = vjp3(g3)
 
-        d_at_cam = d_at_cam + da1 + da2 + da3
+        d_cs = tuple(a + b + c + d
+                     for a, b, c, d in zip(d_cs, dcs1, dcs2, dcs3))
         for onehot, d_at in ((onehot_c, d_at_c), (onehot_v, d_at_v)):
             dtab_acc = accum_tab(dtab_acc, onehot, d_at)
-        dcamp = tuple(a + b + c + d
-                      for a, b, c, d in zip(dcamp, dc1, dc2, dc3))
         dlightp = tuple(a + b + c + d
                         for a, b, c, d in zip(dlightp, dl1, dl2, dl3))
-        return d_at_cam, dtab_acc, dcamp, dlightp
+        return d_cs, dtab_acc, dlightp
 
     # Camera-ray-hits-light term: acc += where(chl, emitted_radiance); its
     # only cotangent is d(emitted_radiance) — hand-accumulated.
@@ -456,12 +460,12 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
     for c in range(3):
         zlight[3 + c] = jnp.where(cam_hit_light, g3[c], 0.0)
 
-    d_at_cam0 = jnp.zeros((ndif, RAY_SUB, LANES), _F32)
     dtab0 = jnp.zeros((P, ndif), _F32)
-    zcam = tuple(zero for _ in range(NCAM))
-    d_at_cam, dtab_acc, dcamp, dlightp = jax.lax.fori_loop(
-        0, s_per, one_sample, (d_at_cam0, dtab0, zcam, tuple(zlight)))
+    d_cs0 = tuple(zero for _ in range(len(cs)))
+    d_cs, dtab_acc, dlightp = jax.lax.fori_loop(
+        0, s_per, one_sample, (d_cs0, dtab0, tuple(zlight)))
 
+    d_at_cam, dcamp = vjp_cam_stage(d_cs)
     dtab_acc = accum_tab(dtab_acc, onehot_cam, d_at_cam)
 
     @pl.when((pid == 0) & (cr_i == 0))
