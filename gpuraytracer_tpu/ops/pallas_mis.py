@@ -784,6 +784,17 @@ def _render_mis_impl(scene: Scene, config: RenderConfig, interpret=None,
     num_tris = scene.triangles.num_triangles
     num_spheres = scene.spheres.num_spheres
     assert num_tris + num_spheres + 1 < 1024, "record encoding limit"
+    if num_tris > 256:
+        # The MIS kernels statically unroll the primitive loops (trace AND
+        # record-replay backward); past a few hundred triangles compile
+        # time explodes. Grouped traversal exists for the variant-B path
+        # kernels (pallas_path.STATIC_UNROLL_MAX) and is the template for
+        # extending this kernel; until then, big scenes take the jnp
+        # oracle (render.render_mis — correct at any scene size).
+        raise NotImplementedError(
+            f"MIS megakernel statically unrolls primitives ({num_tris} "
+            "tris > 256); use render.render_mis for high-triangle scenes "
+            "or the grouped variant-B path kernels")
 
     tri, cam_vec, light_vec, tabs, sph, atab = _pack_inputs(scene, config)
     # Kernel reads no per-pixel input; pass a dummy so in/out specs line up
