@@ -329,6 +329,12 @@ def potential_occluders(scene, config=None, tol_scale: float = 1e-6,
     for sx in (-1.0, 1.0):
         for sy in (-1.0, 1.0):
             pts.append((lc + np.array([sx * he, 0.0, sy * he]))[None])
+    # Camera position: on non-surface lanes the kernels' (masked) shadow
+    # probes originate at ~the camera (t_safe = 0 + the 1e-3 normal offset);
+    # in the silhouette kernels that occ_s bit is decision-RELEVANT on
+    # potential & ~sphere_front lanes (it feeds alpha_soft * (L_s - L_t)),
+    # so the proof's endpoint hull must contain the camera too (ADVICE r4).
+    pts.append(np.asarray(scene.camera.position, np.float64)[None])
     pts = np.concatenate(pts, axis=0)  # [P, 3]
 
     d = pts @ n.T - c0[None, :]  # [P, T] signed distances
@@ -337,10 +343,17 @@ def potential_occluders(scene, config=None, tol_scale: float = 1e-6,
     # The culling proof needs tol strictly inside the kernels' shadow-ray
     # epsilons (1e-3 origin offset / t_max shrink): an endpoint accepted up
     # to tol on the wrong side of a plane is then still outside the probes'
-    # open t-window (ADVICE r3).
-    assert tol < 1e-4, (
-        f"occluder tol {tol:.3g} must stay well under the kernels' 1e-3 "
-        "shadow epsilons; lower tol_scale")
+    # open t-window (ADVICE r3). For scenes with coordinate extent >= 100
+    # units the default tol_scale would breach that bound — fall back to the
+    # all-keep mask (culling is an optimization; keeping everything is
+    # always correct) instead of hard-failing (ADVICE r4).
+    if tol >= 1e-4:
+        import warnings
+        warnings.warn(
+            f"potential_occluders: tol {tol:.3g} (scene extent {scale:.3g})"
+            " would exceed the kernels' 1e-3 shadow epsilons; disabling"
+            " static occluder culling for this scene", stacklevel=2)
+        return tuple(True for _ in range(T))
     below = np.all(d <= tol, axis=0)
     above = np.all(d >= -tol, axis=0)
     sp = scene.spheres

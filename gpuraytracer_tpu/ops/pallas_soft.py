@@ -259,7 +259,14 @@ def _silh_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         psx = ox + dx * jnp.where(sphere_front, t_s, 1.0)
         psy = oy + dy * jnp.where(sphere_front, t_s, 1.0)
         psz = oz + dz * jnp.where(sphere_front, t_s, 1.0)
-        nsx, nsy, nsz = _normalize3(psx - scx, psy - scy, psz - scz)
+        # 1e-6-floored normalize, NOT _normalize3's 1e-12: the oracle
+        # (diff_render) and the backward replay both floor at 1e-6, and the
+        # recorded occ_s decision must be bit-for-bit the decision the
+        # backward replays on degenerate lanes (ADVICE r4).
+        tox, toy, toz = psx - scx, psy - scy, psz - scz
+        inv_ns = jax.lax.rsqrt(jnp.maximum(
+            tox * tox + toy * toy + toz * toz, 1e-6))
+        nsx, nsy, nsz = tox * inv_ns, toy * inv_ns, toz * inv_ns
         hsx = ox + dx * ts_p + nsx * 1e-3
         hsy = oy + dy * ts_p + nsy * 1e-3
         hsz = oz + dz * ts_p + nsz * 1e-3
@@ -634,7 +641,11 @@ def render_direct_soft_fused(scene: Scene, config: RenderConfig,
     trace kernel's hdr (bounces=1); gradients == jax.grad of
     grad/diff_render.render_direct_soft (interior + sphere-silhouette
     terms). ``occluders``: optional static shadow culling for the record
-    pass (decisions unchanged)."""
+    pass — decisions unchanged PROVIDED the mask came from
+    intersect.potential_occluders, whose endpoint hull includes the camera
+    position (the sphere-layer probe originates at ~the camera on
+    non-sphere_front lanes, and that occ_s bit is decision-relevant on
+    potential lanes; ADVICE r4)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     assert scene.spheres.num_spheres > 0, "soft renderer requires spheres"

@@ -57,6 +57,13 @@ def accumulate(scene: Scene, config: RenderConfig, acc: Accumulator,
     way; each batch is a fresh one-shot render at its own seed)."""
     step_cfg = config.replace(spp=spp_step,
                               seed=config.seed + int(acc.seed_cursor))
+    if kernel in ("decoupled", "pallas") and config.integrator == "direct":
+        # The jnp path goes through render(), which maps integrator="direct"
+        # to a 1-bounce trace (render.py); the kernel entries take bounces
+        # verbatim, so clamp here exactly like cli.py does — otherwise a
+        # progressive direct render through the kernels would silently
+        # accumulate a multi-bounce path render (ADVICE r4).
+        step_cfg = step_cfg.replace(bounces=1)
     if kernel == "decoupled":
         from ..ops import render_path_decoupled
         assert config.integrator in ("path", "direct"), config.integrator
