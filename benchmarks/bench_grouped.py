@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from gpuraytracer_tpu.intersect import potential_occluders
-from gpuraytracer_tpu.ops.pallas_path import _render_pallas_impl, pregen_draws
+from gpuraytracer_tpu.ops.pallas_path import (_render_pallas_impl,
+                                              pregen_draws_for)
 from gpuraytracer_tpu.ops.pallas_shade import render_path_decoupled_fused
 from gpuraytracer_tpu.scene import cornell_box_tessellated
 from gpuraytracer_tpu.types import RenderConfig
@@ -84,7 +85,8 @@ def main():
     occ = potential_occluders(scene, cfg)
     n_shadow = sum(occ)
     print(f"shadow tris after culling: {n_shadow}", flush=True)
-    draws = jax.block_until_ready(jax.jit(lambda: pregen_draws(cfg))())
+    draws = jax.block_until_ready(
+        jax.jit(lambda: pregen_draws_for(scene, cfg))())
 
     l0 = jnp.float32(0.0)
 

@@ -170,12 +170,12 @@ def inverse_render(
     elif fast:
         if hoist:
             from ..intersect import potential_occluders
-            from ..ops.pallas_path import pregen_draws
+            from ..ops.pallas_path import pregen_draws_for
             from ..ops.pallas_shade import _auto_records_only
             occluders = potential_occluders(scene, config,
                                             sphere_slack=sphere_slack)
             draws = (None if _auto_records_only(config)
-                     else pregen_draws(config))
+                     else pregen_draws_for(scene, config))
         else:
             draws = occluders = None
         loss_fn = partial(fast_pixel_loss, draws=draws, occluders=occluders)

@@ -65,7 +65,38 @@ OCC_BIT = 1 << 20
 # one-hot at P=1k is 16 MB — past VMEM).
 STATIC_UNROLL_MAX = 64
 GROUP = 16     # triangles per dynamically-indexed inner unroll
+SUPER = 8      # groups per super-group (two-level AABB hierarchy)
 PBLK = 128     # primitives per one-hot fetch block (grouped mode)
+BLOCK = 64     # square-tile side: one grid step = 64x64 pixels (grouped)
+
+
+def use_blocked_tiles(config: RenderConfig, grouped: bool,
+                      sharded: bool) -> bool:
+    """Square 64x64 pixel tiles for the grouped tier (see _path_kernel).
+    Requires divisible resolution; the sharded path keeps the linear
+    mapping (shards slice the linear pixel range)."""
+    return (grouped and not sharded
+            and config.width % BLOCK == 0 and config.height % BLOCK == 0)
+
+
+def to_blocked(a: jnp.ndarray, config: RenderConfig) -> jnp.ndarray:
+    """Permute per-pixel [N, ...]-data from row-major to square-tile order
+    (pure reshape/transpose — XLA relayout, no gathers)."""
+    h, w = config.height, config.width
+    rest = a.shape[1:]
+    perm = (0, 2, 1, 3) + tuple(4 + i for i in range(len(rest)))
+    return jnp.transpose(
+        a.reshape(h // BLOCK, BLOCK, w // BLOCK, BLOCK, *rest),
+        perm).reshape(-1, *rest)
+
+
+def from_blocked(a: jnp.ndarray, config: RenderConfig) -> jnp.ndarray:
+    """Inverse of to_blocked on [N, C] data -> [H, W, C]."""
+    h, w = config.height, config.width
+    c = a.shape[-1]
+    return jnp.transpose(
+        a.reshape(h // BLOCK, w // BLOCK, BLOCK, BLOCK, c),
+        (0, 2, 1, 3, 4)).reshape(h, w, c)
 
 
 class TraceAux(NamedTuple):
@@ -169,6 +200,49 @@ def _f32_divmod(x, m: int):
     return q, r
 
 
+def _safe_inv(d):
+    """1/d with |d| < 1e-30 clamped to 1e30 for the AABB slab test. The
+    clamp keeps (lo - o) * inv finite and NaN-free in every case (0 * 1e30
+    = 0; finite * 1e30 may overflow to inf, which compares correctly), and
+    for near-zero directions the test stays CONSERVATIVE: an origin inside
+    the slab yields an unconstrained interval, an origin outside yields
+    same-sign huge bounds that reject — exactly the true geometry."""
+    return jnp.where(jnp.abs(d) < 1e-30, 1e30, 1.0 / d)
+
+
+def _slab_interval(aabb6, ox, oy, oz, ivx, ivy, ivz):
+    """Ray/AABB slab test on a ray tile against one group's bounds (6 SMEM
+    scalars: lo xyz, hi xyz). Returns (tmin, tmax) of the box interval,
+    clamped below at 0. The group AABBs are padded host-side (GROUP_AABB_PAD
+    + relative margin) so FP differences between this arithmetic and the
+    in-group plane tests can never reject a group containing a true hit —
+    the cull is conservative by construction and decisions are bit-identical
+    to the uncculled loop (asserted in tests/test_grouped.py)."""
+    t0x = (aabb6[0] - ox) * ivx
+    t1x = (aabb6[3] - ox) * ivx
+    t0y = (aabb6[1] - oy) * ivy
+    t1y = (aabb6[4] - oy) * ivy
+    t0z = (aabb6[2] - oz) * ivz
+    t1z = (aabb6[5] - oz) * ivz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                   jnp.minimum(t0y, t1y)),
+                       jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                   jnp.maximum(t0y, t1y)),
+                       jnp.maximum(t0z, t1z))
+    return tmin, tmax
+
+
+# Absolute padding added to every group AABB (plus a 1e-5 relative term) and
+# the relative+absolute slack on the per-ray far limit. The slab arithmetic
+# differs from the triangle plane test by a few ulps; these margins are ~1000x
+# that, so the cull can only ever ACCEPT extra groups (wasted work), never
+# reject a group whose triangle would have won — conservatism is what keeps
+# grouped-with-AABB decisions identical to the brute-force loop.
+GROUP_AABB_PAD = 1e-3
+T_FAR_SLACK = 1e-3
+
+
 def _sample_chunk_for(config: RenderConfig, records_only: bool) -> int:
     """Samples per grid step for record-emitting runs: whole-spp when the
     staged record blocks fit comfortably in VMEM, else the largest divisor
@@ -230,6 +304,7 @@ def _draws_kernel(config: RenderConfig, s_chunk: int,
 def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                  num_spheres: int, emit_records: bool, records_only: bool,
                  s_chunk: int, occluders, grouped: bool, n_shadow: int,
+                 blocked: bool,
                  offsets_ref, rid_base_ref, cam_ref, light_ref, tri_ref,
                  sph_ref, atab_ref, *rest):
     """One [RAY_SUB, 128] tile of rays: full spp x bounces path trace.
@@ -251,9 +326,10 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     precedes the other rest-args. Padding columns are all-zero, so their
     plane tests fail the |den| guard and can never win."""
     if grouped:
-        shadow_ref, rest = rest[0], rest[1:]
+        (shadow_ref, aabb_ref, sup_ref, sh_aabb_ref, sh_sup_ref) = rest[:5]
+        rest = rest[5:]
     else:
-        shadow_ref = None
+        shadow_ref = aabb_ref = sup_ref = sh_aabb_ref = sh_sup_ref = None
     reads_draws = emit_records and not records_only
     if reads_draws:
         (nee0_ref, nee1_ref, cos0_ref, cos1_ref, jx_ref, jy_ref,
@@ -272,8 +348,24 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     # axis_index * shard_size under shard_map) so sharded rendering keeps
     # every per-pixel quantity a pure function of the global pixel.
     rid = rid_base_ref[0, 0] + pid * TILE + sub * LANES + lanei
-    px = (rid % W).astype(_F32)
-    py = (rid // W).astype(_F32)
+    if blocked:
+        # SQUARE-TILE pixel mapping (grouped tier): each grid step owns one
+        # 64x64 pixel block instead of an 8-row full-width strip, so the
+        # tile's camera frustum / shadow cone is compact and the AABB cull's
+        # tile-wide any() rejects far more boxes. The mapping is a pure
+        # (reshape, transpose) permutation applied to the offsets input and
+        # the hdr/record outputs host-side; per-pixel math is unchanged, so
+        # images equal the linear mapping's exactly.
+        nbx = W // BLOCK
+        blk_s = rid_base_ref[0, 0] // TILE + pid        # scalar block id
+        off = sub * LANES + lanei
+        pxi = (blk_s % nbx) * BLOCK + off % BLOCK
+        pyi = (blk_s // nbx) * BLOCK + off // BLOCK
+        px = pxi.astype(_F32)
+        py = pyi.astype(_F32)
+    else:
+        px = (rid % W).astype(_F32)
+        py = (rid // W).astype(_F32)
     in_image = rid < n_pixels
 
     off = offsets_ref[...]  # [RAY_SUB, 128] uint32
@@ -330,12 +422,26 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 precision=jax.lax.Precision.DEFAULT)  # [3*NATTR, TILE]
             at = at9[:NATTR] + at9[NATTR:2 * NATTR] + at9[2 * NATTR:]
             return at.reshape(NATTR, RAY_SUB, LANES)
+        # BLOCK-RANGE fetch: only 128-primitive blocks between the tile's
+        # min and max WINNING indices are contracted (a fori_loop with
+        # dynamic bounds + dynamic VMEM slices). Coherent tiles touch a few
+        # blocks; without this the per-block loop is itself O(P) and would
+        # dominate once the AABB cull removes the intersection work. Miss
+        # lanes are excluded from the range — they then fetch ZEROS instead
+        # of primitive 0's attributes, which only changes values on lanes
+        # every consumer already gates by ``hit`` (hdr/records identical on
+        # live lanes; asserted against the oracle in tests/test_grouped.py).
         pcf = pc.reshape(1, TILE)
-        n_pblocks = atab_ref.shape[0] // PBLK
-        at_acc = None
-        for bk in range(n_pblocks):
+        pci = pc
+        pmin = jnp.min(jnp.where(hit, pci, n_prims - 1))
+        pmax = jnp.max(jnp.where(hit, pci, 0))
+        bk_lo = pmin // PBLK
+        bk_hi = pmax // PBLK
+
+        def blk_body(bk, at_acc):
+            off = pl.multiple_of(bk * PBLK, PBLK)
             oh = (pb_iota == (pcf - bk * PBLK)).astype(_F32)  # [PBLK, TILE]
-            blk = atab_ref[bk * PBLK:(bk + 1) * PBLK, :]      # [PBLK, NATTR]
+            blk = atab_ref[pl.ds(off, PBLK), :]               # [PBLK, NATTR]
             b0 = blk.astype(jnp.bfloat16).astype(_F32)
             br = blk - b0
             b1 = br.astype(jnp.bfloat16).astype(_F32)
@@ -345,7 +451,10 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 preferred_element_type=_F32,
                 precision=jax.lax.Precision.DEFAULT)  # [3*NATTR, TILE]
             part = at9[:NATTR] + at9[NATTR:2 * NATTR] + at9[2 * NATTR:]
-            at_acc = part if at_acc is None else at_acc + part
+            return at_acc + part
+
+        at_acc = jax.lax.fori_loop(bk_lo, bk_hi + 1, blk_body,
+                                   jnp.zeros((NATTR, TILE), _F32))
         return at_acc.reshape(NATTR, RAY_SUB, LANES)
 
     def sphere_roots(sph, ox, oy, oz, dx, dy, dz):
@@ -405,21 +514,60 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 t_best, prim_f = _tri_closest_step(
                     tri, _F32(t_idx), ox, oy, oz, dx, dy, dz, t_best, prim_f)
         else:
-            n_groups = tri_ref.shape[1] // GROUP
+            # TWO-LEVEL spatial rejection (the TPU-native analog of the
+            # reference's driver BVH, computeShader.swift:45-97): a
+            # fori_loop over SUPER-group AABBs (128 tris each) skips whole
+            # regions per lax.cond; accepted supers test their 8 group
+            # AABBs (16 tris each); accepted groups run the dynamically
+            # SMEM-indexed triangle unroll. The t_best bound tightens as
+            # the sweep runs, so later boxes reject more — per-ray cost
+            # tracks INTERSECTED geometry, not total primitives. Host-side
+            # Morton-coherent packing keeps the boxes tight; the cull is
+            # conservative (padded boxes), so decisions are bit-identical
+            # to the brute-force loop (tests/test_grouped.py).
+            ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+            n_super = sup_ref.shape[1]
 
-            def group_body(g, carry):
+            def tri_group(g, carry):
                 t_b, p_f = carry
-                base = g * GROUP
-                for k in range(GROUP):
-                    idx = base + k
-                    row = tuple(tri_ref[r, idx] for r in range(12))
-                    t_b, p_f = _tri_closest_step(
-                        row, idx.astype(_F32), ox, oy, oz, dx, dy, dz,
-                        t_b, p_f)
-                return t_b, p_f
+                aabb6 = [aabb_ref[r, g] for r in range(6)]
+                tmin, tmax = _slab_interval(aabb6, ox, oy, oz, ivx, ivy, ivz)
+                t_far = jnp.minimum(t_b * (1.0 + T_FAR_SLACK) + T_FAR_SLACK,
+                                    RAY_TMAX)
+                reach = tmin <= jnp.minimum(tmax, t_far)
+                any_hit = jnp.max(jnp.where(reach, 1.0, 0.0)) > 0.5
+
+                def run(carry):
+                    t_b, p_f = carry
+                    base = g * GROUP
+                    for k in range(GROUP):
+                        idx = base + k
+                        row = tuple(tri_ref[r, idx] for r in range(12))
+                        t_b, p_f = _tri_closest_step(
+                            row, idx.astype(_F32), ox, oy, oz, dx, dy, dz,
+                            t_b, p_f)
+                    return t_b, p_f
+
+                return jax.lax.cond(any_hit, run, lambda c: c, (t_b, p_f))
+
+            def super_body(sg, carry):
+                t_b, p_f = carry
+                s6 = [sup_ref[r, sg] for r in range(6)]
+                tmin, tmax = _slab_interval(s6, ox, oy, oz, ivx, ivy, ivz)
+                t_far = jnp.minimum(t_b * (1.0 + T_FAR_SLACK) + T_FAR_SLACK,
+                                    RAY_TMAX)
+                reach = tmin <= jnp.minimum(tmax, t_far)
+                any_hit = jnp.max(jnp.where(reach, 1.0, 0.0)) > 0.5
+
+                def run(carry):
+                    for k in range(SUPER):
+                        carry = tri_group(sg * SUPER + k, carry)
+                    return carry
+
+                return jax.lax.cond(any_hit, run, lambda c: c, (t_b, p_f))
 
             t_best, prim_f = jax.lax.fori_loop(
-                0, n_groups, group_body, (t_best, prim_f))
+                0, n_super, super_body, (t_best, prim_f))
         # Analytic spheres after triangles (ties keep the triangle, like the
         # oracle's first-min argmin over [tris..., spheres...]).
         for s_idx, sph in enumerate(sphs):
@@ -487,22 +635,47 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 occ = _tri_shadow_step(tri[:12], ox, oy, oz, dx, dy, dz,
                                        t_max, occ)
         else:
-            n_groups = shadow_ref.shape[1] // GROUP
+            ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+            t_seg = t_max * (1.0 + T_FAR_SLACK) + T_FAR_SLACK
+            n_super = sh_sup_ref.shape[1]
 
-            # The running-OR carries as f32 0/1, not bool: Mosaic cannot
-            # legalize i1-vector loop carries in scf.for (the closest
-            # loop's f32 carries are fine).
-            def group_body(g, occ_f):
-                base = g * GROUP
-                occ_c = occ_f > 0.5
-                for k in range(GROUP):
-                    idx = base + k
-                    row = tuple(shadow_ref[r, idx] for r in range(12))
-                    occ_c = _tri_shadow_step(row, ox, oy, oz, dx, dy, dz,
-                                             t_max, occ_c)
-                return jnp.where(occ_c, 1.0, 0.0)
+            # Two-level segment/AABB rejection + early-out (see the closest
+            # loop): a box is skipped when no STILL-UNOCCLUDED ray's
+            # [0, t_max] segment overlaps it — conservative, so occlusion
+            # decisions are identical. The running-OR carries as f32 0/1,
+            # not bool: Mosaic cannot legalize i1-vector loop carries.
+            def tri_group(g, occ_f):
+                aabb6 = [sh_aabb_ref[r, g] for r in range(6)]
+                tmin, tmax = _slab_interval(aabb6, ox, oy, oz, ivx, ivy, ivz)
+                reach = (tmin <= jnp.minimum(tmax, t_seg)) & (occ_f < 0.5)
+                any_hit = jnp.max(jnp.where(reach, 1.0, 0.0)) > 0.5
 
-            occ_f = jax.lax.fori_loop(0, n_groups, group_body,
+                def run(occ_f):
+                    base = g * GROUP
+                    occ_c = occ_f > 0.5
+                    for k in range(GROUP):
+                        idx = base + k
+                        row = tuple(shadow_ref[r, idx] for r in range(12))
+                        occ_c = _tri_shadow_step(row, ox, oy, oz, dx, dy, dz,
+                                                 t_max, occ_c)
+                    return jnp.where(occ_c, 1.0, 0.0)
+
+                return jax.lax.cond(any_hit, run, lambda o: o, occ_f)
+
+            def super_body(sg, occ_f):
+                s6 = [sh_sup_ref[r, sg] for r in range(6)]
+                tmin, tmax = _slab_interval(s6, ox, oy, oz, ivx, ivy, ivz)
+                reach = (tmin <= jnp.minimum(tmax, t_seg)) & (occ_f < 0.5)
+                any_hit = jnp.max(jnp.where(reach, 1.0, 0.0)) > 0.5
+
+                def run(occ_f):
+                    for k in range(SUPER):
+                        occ_f = tri_group(sg * SUPER + k, occ_f)
+                    return occ_f
+
+                return jax.lax.cond(any_hit, run, lambda o: o, occ_f)
+
+            occ_f = jax.lax.fori_loop(0, n_super, super_body,
                                       jnp.where(occ, 1.0, 0.0))
             occ = occ_f > 0.5
         for sph in sphs:
@@ -769,16 +942,77 @@ def _pack_inputs(scene: Scene, config: RenderConfig, grouped: bool = False,
         p = ((x.shape[1] + mult - 1) // mult) * mult
         return jnp.pad(x, ((0, 0), (0, p - x.shape[1])))
 
-    tri_geo = pad_cols(tri[:12], GROUP)              # [12, P_gpad]
+    def group_aabbs(verts):
+        """[T, 3, 3] verts -> two-level AABB tables: per-GROUP [6, ng_pad]
+        and per-SUPER [6, n_super] (rows: lo xyz, hi xyz). The trailing
+        partial group is padded with copies of the last triangle so padding
+        never widens a box; the group table is then padded to a SUPER
+        multiple with SENTINEL point-boxes at 1e20 whose slab test rejects
+        every ray (their geometry columns are never read — the cond skips
+        the body). Conservative margin: GROUP_AABB_PAD + 1e-5 relative."""
+        n = verts.shape[0]
+        ng = max(1, (n + GROUP - 1) // GROUP)
+        pad = ng * GROUP - n
+        v = jnp.concatenate(
+            [verts, jnp.broadcast_to(verts[-1:], (pad, 3, 3))]) \
+            if pad else verts
+        v = v.reshape(ng, GROUP * 3, 3)
+        margin = GROUP_AABB_PAD + 1e-5 * jnp.max(jnp.abs(verts))
+        lo = jnp.min(v, axis=1) - margin      # [ng, 3]
+        hi = jnp.max(v, axis=1) + margin
+        n_super = (ng + SUPER - 1) // SUPER
+        gpad = n_super * SUPER - ng
+        lo_p = jnp.concatenate([lo, jnp.full((gpad, 3), 1e20, _F32)])
+        hi_p = jnp.concatenate([hi, jnp.full((gpad, 3), -1e20, _F32)])
+        slo = jnp.min(lo_p.reshape(n_super, SUPER, 3), axis=1)
+        shi = jnp.max(hi_p.reshape(n_super, SUPER, 3), axis=1)
+        # Sentinel groups: point boxes at +1e20 (lo == hi == 1e20 rejects
+        # every forward interval; see _safe_inv's conservativeness note).
+        hi_p = jnp.where(hi_p <= -1e20, 1e20, hi_p)
+        gtab = jnp.concatenate([lo_p.T, hi_p.T], axis=0).astype(_F32)
+        stab = jnp.concatenate([slo.T, shi.T], axis=0).astype(_F32)
+        return gtab, stab  # [6, ng_pad], [6, n_super]
+
+    def pad_geo(x):
+        """Zero-pad geometry columns to SUPER * GROUP granularity so
+        sentinel groups' columns exist (never read — their AABB rejects)."""
+        mult = SUPER * GROUP
+        p = ((x.shape[1] + mult - 1) // mult) * mult
+        return jnp.pad(x, ((0, 0), (0, p - x.shape[1])))
+
+    verts = jnp.asarray(scene.triangles.verts, _F32)
+    tri_geo = pad_geo(tri[:12])                      # [12, P_gpad]
+    aabb_main, sup_main = group_aabbs(verts)
     if occluders is not None:
         keep = [i for i, k in enumerate(occluders) if k]
-        shadow_geo = pad_cols(tri[:12, jnp.asarray(keep, jnp.int32)], GROUP) \
-            if keep else jnp.zeros((12, GROUP), _F32)
+        if keep:
+            kidx = jnp.asarray(keep, jnp.int32)
+            shadow_geo = pad_geo(tri[:12, kidx])
+            aabb_shadow, sup_shadow = group_aabbs(verts[kidx])
+        else:
+            shadow_geo = jnp.zeros((12, SUPER * GROUP), _F32)
+            aabb_shadow = jnp.full((6, SUPER), 1e20, _F32)
+            sup_shadow = jnp.full((6, 1), 1e20, _F32)
     else:
         shadow_geo = tri_geo
+        aabb_shadow, sup_shadow = aabb_main, sup_main
     n_pad = ((atab.shape[1] + PBLK - 1) // PBLK) * PBLK
     atab_t = jnp.pad(atab, ((0, 0), (0, n_pad - atab.shape[1]))).T
-    return tri_geo, cam_vec, light_vec, sph, atab_t, shadow_geo
+    return (tri_geo, cam_vec, light_vec, sph, atab_t, shadow_geo,
+            aabb_main, sup_main, aabb_shadow, sup_shadow)
+
+
+def pregen_draws_for(scene: Scene, config: RenderConfig, interpret=None):
+    """Scene-aware ``pregen_draws``: applies the square-tile pixel
+    permutation when the scene will render through the blocked grouped
+    kernels, so externally hoisted draws line up with the trace kernel's
+    tile layout. Always use this (not bare ``pregen_draws``) when the
+    triangle count may exceed STATIC_UNROLL_MAX."""
+    grouped = scene.triangles.num_triangles > STATIC_UNROLL_MAX
+    off = pixel_rng_offsets(config)
+    if use_blocked_tiles(config, grouped, False):
+        off = to_blocked(off, config)
+    return pregen_draws(config, off, interpret)
 
 
 def pregen_draws(config: RenderConfig, local_offsets=None, interpret=None):
@@ -856,16 +1090,22 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     assert num_tris + num_spheres + 1 < OCC_BIT, "record encoding limit"
     if grouped is None:
         grouped = num_tris > STATIC_UNROLL_MAX
+    # Square-tile mapping: grouped, single-chip, divisible resolution, and
+    # not the decoded-TraceAux mode (its decode assumes linear pixel order).
+    blocked = use_blocked_tiles(config, grouped, local_offsets is not None) \
+        and not (emit_records and not (raw_records or records_only))
 
     if grouped:
-        (tri, cam_vec, light_vec, sph, atab,
-         shadow_geo) = _pack_inputs(scene, config, grouped=True,
-                                    occluders=occluders)
+        (tri, cam_vec, light_vec, sph, atab, shadow_geo, aabb_main,
+         sup_main, aabb_shadow, sup_shadow) = _pack_inputs(
+             scene, config, grouped=True, occluders=occluders)
     else:
         tri, cam_vec, light_vec, sph, atab = _pack_inputs(scene, config)
-        shadow_geo = None
+        shadow_geo = aabb_main = sup_main = aabb_shadow = sup_shadow = None
     if local_offsets is None:
         local_offsets = pixel_rng_offsets(config)
+        if blocked:
+            local_offsets = to_blocked(local_offsets, config)
     if rid_base is None:
         rid_base = jnp.zeros((1, 1), _I32)
     n_local = local_offsets.shape[0]
@@ -891,7 +1131,8 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     n_shadow = (sum(occluders) if occluders is not None else num_tris)
     kernel = partial(_path_kernel, config, n_pixels, num_tris, num_spheres,
                      emit_records, records_only, s_chunk,
-                     None if grouped else occluders, grouped, n_shadow)
+                     None if grouped else occluders, grouped, n_shadow,
+                     blocked)
     plane = jax.ShapeDtypeStruct((n_padded // LANES, LANES), _F32)
     out_specs = pl.BlockSpec((RAY_SUB, LANES), tile_ix,
                              memory_space=pltpu.VMEM)
@@ -949,8 +1190,17 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
                          memory_space=pltpu.VMEM),    # transposed fetch table
             pl.BlockSpec((12, shadow_geo.shape[1]), const_ix,
                          memory_space=pltpu.SMEM),    # packed shadow tris
+            pl.BlockSpec((6, aabb_main.shape[1]), const_ix,
+                         memory_space=pltpu.SMEM),    # group AABBs (closest)
+            pl.BlockSpec((6, sup_main.shape[1]), const_ix,
+                         memory_space=pltpu.SMEM),    # super AABBs (closest)
+            pl.BlockSpec((6, aabb_shadow.shape[1]), const_ix,
+                         memory_space=pltpu.SMEM),    # group AABBs (shadow)
+            pl.BlockSpec((6, sup_shadow.shape[1]), const_ix,
+                         memory_space=pltpu.SMEM),    # super AABBs (shadow)
         ]
-        geo_args = (tri, sph, atab, shadow_geo)
+        geo_args = (tri, sph, atab, shadow_geo, aabb_main, sup_main,
+                    aabb_shadow, sup_shadow)
     else:
         geo_specs = [
             pl.BlockSpec((NROWS, num_tris), const_ix,
@@ -984,6 +1234,8 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     hdr = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     if flat_output:
         hdr = hdr[:n_local]
+    elif blocked:
+        hdr = from_blocked(hdr[:n_local], config)
     else:
         hdr = hdr[:n_local].reshape(config.height, config.width, 3)
     if not emit_records:

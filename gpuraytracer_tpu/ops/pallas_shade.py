@@ -71,7 +71,7 @@ NSCAL = 21  # pos(3) hu(3) hv(3) wb(3) lc(3) lcol(3) ln(3)
 
 def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
                       num_spheres: int, recompute_rng: bool, s_chunk: int,
-                      grouped: bool, *refs):
+                      grouped: bool, blocked: bool, *refs):
     """One ray tile: recompute every sample's path from the aux planes, then
     reverse the bounce chain accumulating parameter cotangents.
 
@@ -87,6 +87,10 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
     — a monolithic [P, TILE] one-hot at 1k+ prims would blow VMEM. The
     replay itself is record-driven, so backward cost stays O(1) in scene
     size outside these block loops."""
+    if grouped:
+        refs, dtab_scr = refs[:-1], refs[-1]
+    else:
+        dtab_scr = None
     if recompute_rng:
         (g_r_ref, g_g_ref, g_b_ref, rec_ref, off_ref, rid_base_ref,
          table_ref, cam_ref, light_ref, dtab_ref, dscal_ref) = refs
@@ -109,8 +113,19 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
     lanei = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 1)
     # Global pixel id (rid_base = shard's first pixel under shard_map).
     rid = rid_base_ref[0, 0] + pid * TILE + sub * LANES + lanei
-    px = (rid % W).astype(_F32)
-    py = (rid // W).astype(_F32)
+    if blocked:
+        # Square-tile pixel mapping — must mirror the trace kernel's
+        # (pallas_path._path_kernel) so the replayed camera rays match the
+        # recorded decisions bit-for-bit.
+        from .pallas_path import BLOCK
+        nbx = W // BLOCK
+        blk_s = rid_base_ref[0, 0] // TILE + pid
+        off_l = sub * LANES + lanei
+        px = ((blk_s % nbx) * BLOCK + off_l % BLOCK).astype(_F32)
+        py = ((blk_s // nbx) * BLOCK + off_l // BLOCK).astype(_F32)
+    else:
+        px = (rid % W).astype(_F32)
+        py = (rid // W).astype(_F32)
     in_image = rid < n_pixels
 
     cam = [cam_ref[0, k] for k in range(12)]
@@ -152,16 +167,24 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
         n_pblocks = P_pad // PBLK
         pb_iota = jax.lax.broadcasted_iota(_I32, (PBLK, TILE), 0)
 
-    def fetch(pc):
+    def fetch(pc, hit):
         """Attrs via the chunk-stacked one-hot matmul (exact, see above).
         Returns (onehot [P, TILE] or None in grouped mode,
         nfetch planes [RAY_SUB, LANES])."""
         if grouped:
+            # BLOCK-RANGE fetch (mirrors pallas_path.fetch_attrs): only the
+            # blocks spanned by the tile's recorded winners are contracted.
+            # Miss lanes fetch zeros — every consumer of their planes is
+            # gated downstream, so live-lane values/cotangents are
+            # unchanged (asserted vs the oracle in tests/test_grouped.py).
             pcf = pc.reshape(1, TILE)
-            at_acc = None
-            for bk in range(n_pblocks):
+            pmin = jnp.min(jnp.where(hit, pc, P - 1))
+            pmax = jnp.max(jnp.where(hit, pc, 0))
+
+            def blk_body(bk, at_acc):
+                off = pl.multiple_of(bk * PBLK, PBLK)
                 oh = (pb_iota == (pcf - bk * PBLK)).astype(_F32)
-                blk_full = table_ref[bk * PBLK:(bk + 1) * PBLK, :]
+                blk_full = table_ref[pl.ds(off, PBLK), :]
                 blk = jnp.concatenate(
                     [blk_full[:, 0:7], blk_full[:, 10:nrows]], axis=1)
                 b0 = blk.astype(jnp.bfloat16).astype(_F32)
@@ -172,9 +195,12 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
                     blk9, oh, (((0,), (0,)), ((), ())),
                     preferred_element_type=_F32,
                     precision=jax.lax.Precision.DEFAULT)  # [3*nfetch, TILE]
-                part = (at9[:nfetch] + at9[nfetch:2 * nfetch]
-                        + at9[2 * nfetch:])
-                at_acc = part if at_acc is None else at_acc + part
+                return at_acc + (at9[:nfetch] + at9[nfetch:2 * nfetch]
+                                 + at9[2 * nfetch:])
+
+            at_acc = jax.lax.fori_loop(pmin // PBLK, pmax // PBLK + 1,
+                                       blk_body,
+                                       jnp.zeros((nfetch, TILE), _F32))
             at = at_acc.reshape(nfetch, RAY_SUB, LANES)
             return None, [at[k] for k in range(nfetch)]
         onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
@@ -232,7 +258,7 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
             prim = code % OCC_BIT - 1
             hit = prim >= 0
             pc = jnp.clip(prim, 0, P - 1)
-            onehot, at = fetch(pc)
+            onehot, at = fetch(pc, hit)
             # Table normal (zeros in sphere columns) vs the effective shading
             # normal nh (sphere columns override it below).
             tnx, tny, tnz, c0 = at[0], at[1], at[2], at[3]
@@ -333,7 +359,7 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
             crxn, cryn, crzn = crx / crn, cry / crn, crz / crn
 
             res.append(dict(
-                onehot=onehot, pc=pc, tn=(tnx, tny, tnz),
+                onehot=onehot, pc=pc, hit=hit, tn=(tnx, tny, tnz),
                 nh=(nhx, nhy, nhz), df=df,
                 ok=ok, sden=sden, tt=tt, ts=ts,
                 o=(ox, oy, oz), d=(dx, dy, dz),
@@ -621,17 +647,29 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
             p1 = pr.astype(jnp.bfloat16).astype(_F32)
             planes9 = jnp.concatenate([p0, p1, pr - p1], axis=0)  # [3*ntab,T]
             if grouped:
+                # BLOCK-RANGE scatter into the VMEM scratch accumulator:
+                # only blocks containing this bounce's recorded winners are
+                # touched (miss lanes carry provably-zero cotangent rows —
+                # every d_* above is gated by surf/contrib/hit_light/sel —
+                # so excluding them from the range drops nothing).
                 pcf = r["pc"].reshape(1, TILE)
-                parts = []
-                for bk in range(n_pblocks):
+                pmin = jnp.min(jnp.where(r["hit"], r["pc"], P - 1))
+                pmax = jnp.max(jnp.where(r["hit"], r["pc"], 0))
+
+                def blk_body(bk, c):
+                    off = pl.multiple_of(bk * PBLK, PBLK)
                     oh = (pb_iota == (pcf - bk * PBLK)).astype(_F32)
                     pb = jax.lax.dot_general(
                         oh, planes9, (((1,), (1,)), ((), ())),
                         preferred_element_type=_F32,
                         precision=jax.lax.Precision.DEFAULT)  # [PBLK,3*ntab]
-                    parts.append(pb[:, :ntab] + pb[:, ntab:2 * ntab]
-                                 + pb[:, 2 * ntab:])
-                dtab_acc = dtab_acc + jnp.concatenate(parts, axis=0)
+                    dtab_scr[pl.ds(off, PBLK), :] += (
+                        pb[:, :ntab] + pb[:, ntab:2 * ntab]
+                        + pb[:, 2 * ntab:])
+                    return c
+
+                jax.lax.fori_loop(pmin // PBLK, pmax // PBLK + 1,
+                                  blk_body, 0)
             else:
                 part = jax.lax.dot_general(
                     r["onehot"], planes9, (((1,), (1,)), ((), ())),
@@ -657,7 +695,13 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
         new_scal = tuple(d_pos + d_hu + d_hv + d_wb + d_lc + d_lcol + d_ln)
         return dtab_acc, new_scal
 
-    dtab0 = jnp.zeros((P_pad if grouped else P, ntab), _F32)
+    if grouped:
+        # Grouped cotangents accumulate in the VMEM scratch (block-range
+        # dynamic stores); the fori carry holds only the scalar planes.
+        dtab_scr[...] = jnp.zeros_like(dtab_scr)
+        dtab0 = jnp.zeros((8, LANES), _F32)  # unused dummy carry
+    else:
+        dtab0 = jnp.zeros((P, ntab), _F32)
     scal0 = tuple(zero for _ in range(NSCAL))
     dtab_acc, dscal = jax.lax.fori_loop(
         0, s_chunk, one_sample, (dtab0, scal0), unroll=False)
@@ -667,7 +711,7 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
         dtab_ref[...] = jnp.zeros_like(dtab_ref)
         dscal_ref[...] = jnp.zeros_like(dscal_ref)
 
-    dtab_ref[...] += dtab_acc
+    dtab_ref[...] += dtab_scr[...] if grouped else dtab_acc
     scal_row = jnp.concatenate(
         [jnp.sum(p).reshape(1, 1) for p in dscal], axis=1)  # [1, NSCAL]
     dscal_ref[...] += scal_row
@@ -676,7 +720,7 @@ def _shade_bwd_kernel(config: RenderConfig, n_pixels: int, num_prims: int,
 def _bwd_pallas(config: RenderConfig, n_pixels: int, num_prims: int,
                 num_spheres: int, g_planes, aux_planes, table, cam_vec,
                 light_vec, interpret: bool, rid_base, n_local: int,
-                offsets=None, grouped: bool = False):
+                offsets=None, grouped: bool = False, blocked: bool = False):
     from .pallas_path import _sample_chunk_for
     n_padded = ((n_local + TILE - 1) // TILE) * TILE
     recompute_rng = offsets is not None
@@ -711,7 +755,7 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_prims: int,
         aux_specs = [sb_spec] * 5 + [s_spec] * 2  # records + uv + jitter
         aux_inputs = aux_planes
     kernel = partial(_shade_bwd_kernel, config, n_pixels, num_prims,
-                     num_spheres, recompute_rng, s_chunk, grouped)
+                     num_spheres, recompute_rng, s_chunk, grouped, blocked)
     dtab, dscal = pl.pallas_call(
         kernel,
         grid=grid,
@@ -732,6 +776,8 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_prims: int,
         ),
         out_shape=(jax.ShapeDtypeStruct((p_out, ntab), _F32),
                    jax.ShapeDtypeStruct((1, NSCAL), _F32)),
+        scratch_shapes=([pltpu.VMEM((p_out, ntab), _F32)] if grouped
+                        else []),
         interpret=interpret,
     )(*g_planes, *aux_inputs, rid_base, table, cam_vec, light_vec)
     return dtab[:num_prims], dscal
@@ -742,18 +788,18 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_prims: int,
 # backward = the kernel above.
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _attach_grad(config: RenderConfig, interpret, grouped, hdr, table,
-                 cam_vec, light_vec, aux_planes, rid_base, offsets):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _attach_grad(config: RenderConfig, interpret, grouped, blocked, hdr,
+                 table, cam_vec, light_vec, aux_planes, rid_base, offsets):
     return hdr
 
 
-def _attach_fwd(config, interpret, grouped, hdr, table, cam_vec, light_vec,
-                aux_planes, rid_base, offsets):
+def _attach_fwd(config, interpret, grouped, blocked, hdr, table, cam_vec,
+                light_vec, aux_planes, rid_base, offsets):
     return hdr, (table, cam_vec, light_vec, aux_planes, rid_base, offsets)
 
 
-def _attach_bwd(config, interpret, grouped, resids, g):
+def _attach_bwd(config, interpret, grouped, blocked, resids, g):
     table, cam_vec, light_vec, aux_planes, rid_base, offsets = resids
     n_local = g.shape[0] * (g.shape[1] if g.ndim == 3 else 1)
     n_padded = ((n_local + TILE - 1) // TILE) * TILE
@@ -761,8 +807,13 @@ def _attach_bwd(config, interpret, grouped, resids, g):
     has_spheres = table.shape[0] == NROWS_TAB_SPH
 
     # hdr cotangent ([H, W, 3] or flat [local, 3]) -> padded tile planes,
-    # pre-scaled by 1/spp (hdr = sum_samples acc / spp).
+    # pre-scaled by 1/spp (hdr = sum_samples acc / spp). Blocked mode
+    # permutes the cotangent into the square-tile pixel order the record
+    # planes were written in.
     gs = (g * _F32(1.0 / config.spp)).reshape(-1, 3)
+    if blocked:
+        from .pallas_path import to_blocked
+        gs = to_blocked(gs, config)
     gs = jnp.pad(gs, ((0, n_padded - n_local), (0, 0)))
     g_planes = tuple(gs[:, c].reshape(-1, LANES) for c in range(3))
 
@@ -782,7 +833,8 @@ def _attach_bwd(config, interpret, grouped, resids, g):
                               1 if has_spheres else 0, g_planes,
                               aux_planes, table_in, cam_vec, light_vec,
                               interpret, rid_base, n_local,
-                              offsets=off_planes, grouped=grouped)
+                              offsets=off_planes, grouped=grouped,
+                              blocked=blocked)
     zrow = jnp.zeros((1, num_prims), _F32)
     if has_spheres:
         # [n(3), c0, df(3), em(3)] + is_em(0) + [center(3), radius] + is_sph(0)
@@ -903,6 +955,8 @@ def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
     if records_only is None:
         records_only = _auto_records_only(config)
     grouped = scene.triangles.num_triangles > STATIC_UNROLL_MAX
+    from .pallas_path import to_blocked, use_blocked_tiles
+    blocked = use_blocked_tiles(config, grouped, False)
     hdr, aux = _render_pallas_impl(jax.lax.stop_gradient(scene), config,
                                    interpret=interpret, emit_records=True,
                                    raw_records=True,
@@ -911,9 +965,11 @@ def render_path_decoupled_fused(scene: Scene, config: RenderConfig,
     table, cam_vec, light_vec = _pack_diff_inputs(scene, config)
     from ..render import pixel_rng_offsets
     offsets = pixel_rng_offsets(config) if records_only else None
-    return _attach_grad(config, interpret, grouped, hdr, table, cam_vec,
-                        light_vec, tuple(aux), jnp.zeros((1, 1), jnp.int32),
-                        offsets)
+    if blocked and offsets is not None:
+        offsets = to_blocked(offsets, config)
+    return _attach_grad(config, interpret, grouped, blocked, hdr, table,
+                        cam_vec, light_vec, tuple(aux),
+                        jnp.zeros((1, 1), jnp.int32), offsets)
 
 
 def render_path_fused_local(scene: Scene, config: RenderConfig,
@@ -938,5 +994,7 @@ def render_path_fused_local(scene: Scene, config: RenderConfig,
                                    draws=draws, occluders=occluders)
     table, cam_vec, light_vec = _pack_diff_inputs(scene, config)
     offsets = local_offsets if records_only else None
-    return _attach_grad(config, interpret, grouped, hdr, table, cam_vec,
-                        light_vec, tuple(aux), rid_base, offsets)
+    # Sharded path: linear pixel mapping (use_blocked_tiles(..., True) is
+    # False — shards slice the linear pixel range).
+    return _attach_grad(config, interpret, grouped, False, hdr, table,
+                        cam_vec, light_vec, tuple(aux), rid_base, offsets)

@@ -307,25 +307,39 @@ def cornell_box_with_spheres(resolution: Tuple[int, int] = (256, 256)) -> Scene:
 # High-triangle-count scene tier (grouped kernel traversal)
 # ---------------------------------------------------------------------------
 
+def _morton2(i: int, j: int) -> int:
+    """Interleave the bits of (i, j) — Z-order curve index."""
+    code = 0
+    for b in range(16):
+        code |= (((i >> b) & 1) << (2 * b)) | (((j >> b) & 1) << (2 * b + 1))
+    return code
+
+
 def _tessellate_quad(b: _TriBuilder, corners, n: int, material: dict) -> None:
     """Split the quad (c0, c1, c2, c3 in winding order) into an n x n grid of
     cells, two triangles each, preserving the outward orientation of the
-    corner order."""
+    corner order. Cells are emitted in MORTON (Z-curve) order so that any
+    run of consecutive triangles covers a compact square patch — this is
+    what makes the grouped kernels' consecutive-16 triangle groups
+    spatially tight, and therefore their per-group AABBs small enough for
+    the slab cull to reject most groups per ray tile (pallas_path
+    group_body). Emission order is a scene-construction property, visible
+    to the user; the kernels assume nothing beyond locality."""
     c0, c1, c2, c3 = (np.asarray(c, np.float64) for c in corners)
-    for i in range(n):
-        for j in range(n):
-            u0, u1 = i / n, (i + 1) / n
-            v0, v1 = j / n, (j + 1) / n
+    for i, j in sorted(((i, j) for i in range(n) for j in range(n)),
+                       key=lambda ij: _morton2(*ij)):
+        u0, u1 = i / n, (i + 1) / n
+        v0, v1 = j / n, (j + 1) / n
 
-            def lerp(u, v):
-                top = c0 + (c1 - c0) * u
-                bot = c3 + (c2 - c3) * u
-                return (top + (bot - top) * v).astype(_F)
+        def lerp(u, v):
+            top = c0 + (c1 - c0) * u
+            bot = c3 + (c2 - c3) * u
+            return (top + (bot - top) * v).astype(_F)
 
-            p00, p10, p11, p01 = lerp(u0, v0), lerp(u1, v0), lerp(u1, v1), \
-                lerp(u0, v1)
-            b.add(p00, p10, p11, material)
-            b.add(p00, p11, p01, material)
+        p00, p10, p11, p01 = lerp(u0, v0), lerp(u1, v0), lerp(u1, v1), \
+            lerp(u0, v1)
+        b.add(p00, p10, p11, material)
+        b.add(p00, p11, p01, material)
 
 
 def icosphere(center, radius, subdiv: int = 2) -> np.ndarray:

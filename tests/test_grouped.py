@@ -87,6 +87,33 @@ def test_tessellated_records_only_grads_match(tess_scene):
                                        atol=5e-8, rtol=1e-5)
 
 
+def test_blocked_tiles_match_oracle():
+    """Square-tile (64x64 block) pixel mapping: the grouped kernel's hdr
+    and fused gradients equal the oracle's — the mapping is a pure pixel
+    permutation applied consistently to offsets/records/cotangents."""
+    from gpuraytracer_tpu.ops.pallas_path import use_blocked_tiles
+    s = cornell_box_tessellated(resolution=(64, 64), wall_subdiv=3,
+                                sphere_subdiv=1)
+    cfg = RenderConfig(width=64, height=64, integrator="path", spp=2,
+                       bounces=2, pixel_chunk=4096)
+    assert use_blocked_tiles(cfg, True, False)
+    k = np.asarray(_render_pallas_impl(s, cfg, interpret=True))
+    o = np.asarray(render(s, cfg).hdr)
+    np.testing.assert_allclose(k, o, atol=2e-5, rtol=1e-4)
+    g_f = jax.grad(
+        lambda sc: jnp.mean(render_path_decoupled_fused(sc, cfg)),
+        allow_int=True)(s)
+    g_o = jax.grad(lambda sc: jnp.mean(render(sc, cfg).hdr),
+                   allow_int=True)(s)
+    for grp in ("triangles.verts", "triangles.diffuse", "light.center",
+                "camera.position"):
+        a, b = g_f, g_o
+        for part in grp.split("."):
+            a, b = getattr(a, part), getattr(b, part)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4, err_msg=grp)
+
+
 def test_tessellated_occluders_preserve_render(tess_scene):
     """Occluder culling on the grouped path (dense host-packed shadow
     table): masked and full-loop renders agree."""
