@@ -1,26 +1,33 @@
-"""Pallas backward for the variant-A MIS megakernel.
+"""Hand-written Pallas backward for the variant-A MIS megakernel.
 
-Round-1 status: the MIS kernel's forward ran at 8108 Mrays/s but its
-custom-VJP backward replayed the *jnp oracle* (2.2 s at 30 samples) — a
-~50x fwd/bwd mismatch on BASELINE's fwd+bwd metric. This module closes it
-with the decoupled recipe from the variant-B path (ops/pallas_shade.py):
+The trace kernel (ops/pallas_mis.py, ``emit_records=True``) writes the
+integrator's discrete decisions per (camera ray, sample, pixel): the
+camera/cosine/VNDF closest-hit winners and the three light-probe visibility
+bits — exactly what AD treats as piecewise constant. This kernel recomputes
+each sample's *continuous* math from those records entirely in VMEM — no
+ray-scene traversals, which is where the forward's FLOPs go — and reverses
+it with a HAND-WRITTEN sweep (the same recipe as the variant-B path
+backward, ops/pallas_shade.py).
 
-  1. The trace kernel (ops/pallas_mis.py, ``emit_records=True``) writes the
-     integrator's discrete decisions per (camera ray, sample, pixel): the
-     camera/cosine/VNDF closest-hit winners and the three light-probe
-     visibility bits. Those are exactly what AD treats as piecewise constant.
-  2. This backward kernel recomputes each sample's *continuous* math from
-     the records entirely in VMEM — no ray-scene traversals, which is where
-     the forward's FLOPs go — and reverse-sweeps it.
+Through round 4 the reverse sweep was jax.vjp applied *inside the kernel
+body* per strategy: correct, but measured at 204 ms against a 53 ms modeled
+floor at reference settings (BASELINE.md roofline) — jax-generated reverse
+code keeps every linearization-point residual live across each strategy's
+sweep, and recomputes the sample-invariant frames per sample. Round 5
+replaces it:
 
-Unlike pallas_shade.py, the reverse sweep is NOT hand-derived: the
-per-sample replay is a pure-jnp function on [RAY_SUB, 128] tiles mirroring
-the forward kernel expression-for-expression, and the kernel calls
-``jax.vjp`` on it *inside the kernel body*. The reverse of elementwise math
-is elementwise math and the reverse of the one-hot attribute fetch is the
-transposed one-hot matmul, so the whole cotangent computation lowers to
-Mosaic like any other kernel code — exact AD gradients at kernel speed,
-with the discrete structure (one-hots, masks) held outside the vjp.
+  * module-level forward/reverse pairs (``_fwd_brdf``/``_rev_brdf``,
+    ``_fwd_vndf``, ``_fwd_smith_g1``, ``_fwd_dggx``, ``_fwd_lightpdf``,
+    ``_fwd_ph3``, ``_fwd_direct_light``, ``_fwd_bounce``) — pure jnp on
+    tiles, each asserted against jax.vjp of its own forward in
+    tests/test_mis_fused.py::test_handwritten_reverse_helpers;
+  * the sample-INVARIANT stages (camera ray + hit, ortho basis, VNDF view
+    frame, offset origin) hoisted out of the sample loop and reversed once
+    per (tile, camera ray) via one jax.vjp — 1/s_per of the old cost, and
+    the per-sample sweep no longer re-derives basis/frame chains;
+  * the per-sample hot path (3 strategies × 5 BRDF evaluations) fully
+    hand-derived, interleaving forward recompute with reverse math so
+    residuals die within one sample's body.
 
 Cotangent outputs per tile, accumulated across the (camera ray, sample)
 loops and reduced once at the end:
@@ -31,12 +38,17 @@ loops and reduced once at the end:
   * camera (12) and light (17) scalars as running partial-sum planes.
 
 Scope: triangle AND sphere scenes. Sphere lanes replay the analytic
-quadratic t(center, radius) and the point normal (hit − center)/‖·‖ inside
-the vjp'd closure, so center/radius cotangents come out of the same
-in-kernel AD as everything else (the discrete is_sphere select and the
-recorded winner stay piecewise-constant). References being differentiated:
-Sources/gpuRaytracer/shaders.metal:543-707 (MIS integrator),
-Sources/gpuRaytracer/shaders_old.metal:108-136 (analytic sphere).
+quadratic t(center, radius) and the point normal (hit − center)/‖·‖ with
+hand-derived reverses (mirroring pallas_shade.py's sphere chains), so
+center/radius cotangents flow at kernel speed. References being
+differentiated: Sources/gpuRaytracer/shaders.metal:543-707 (MIS
+integrator), Sources/gpuRaytracer/shaders_old.metal:108-136 (analytic
+sphere).
+
+Gradient conventions match jax AD: clip(x, lo, hi) gates with
+(x >= lo) & (x <= hi); |x| differentiates to sign(x); maximum(x, c) passes
+the gradient where x >= c. Parity vs jax.grad of the jnp oracle is
+asserted across every parameter group in tests/test_mis_fused.py.
 """
 from __future__ import annotations
 
@@ -55,9 +67,8 @@ from .pallas_mis import (
     DEBUG_STRATEGY_MASK, LANES, NTAB, RAY_SUB, TILE,
     TAB_CSU0, TAB_CSU1, TAB_CU0, TAB_CU1, TAB_LU0, TAB_LU1,
     TAB_VSU0, TAB_VSU1, TAB_VU0, TAB_VU1,
-    _brdf, _cosine_pdf, _cross3, _dot3, _hash_u32, _normalize3,
-    _ortho_basis, _power_heuristic_3, _render_mis_impl, _u32_to_f32,
-    _vndf_pdf,
+    _cross3, _dot3, _hash_u32, _normalize3, _ortho_basis,
+    _render_mis_impl, _u32_to_f32,
 )
 
 _F32 = jnp.float32
@@ -77,6 +88,990 @@ NSCAL = NCAM + NLIGHT
 RAY_TMIN = 1e-3
 RAY_TMAX = 1e3
 
+# Hoisted sample-invariant plane layout (``cs`` tuple; see _hoist_stage).
+CS_D = 0       # 0-2   camera ray direction
+CS_P = 3       # 3-5   camera-hit surface point
+CS_NH = 6      # 6-8   shading normal
+CS_DF = 9      # 9-11  diffuse rgb
+CS_MET = 12
+CS_RGH = 13
+CS_T = 14      # 14-16 ortho-basis tangent
+CS_B = 17      # 17-19 ortho-basis bitangent
+CS_VE = 20     # 20-22 VNDF view vector (stretched-normalized v)
+CS_T1 = 23     # 23-25 VNDF frame tangent 1
+CS_T2 = 26     # 26-28 VNDF frame tangent 2
+CS_ALPHA = 29  # roughness² (also the BRDF's GGX 'a')
+CS_OFF = 30    # 30-32 offset secondary origin p + nh*1e-4
+# Camera-material BRDF/VNDF invariants (every subexpression of the
+# 3-per-sample (v, nh, material) BRDF+VNDF sites that does not depend on
+# the outgoing direction — hoisted per tile, reversed by the hoist vjp):
+CS_V = 33      # 33-35 view vector -d
+CS_CNDV = 36   # |nh·v| + 1e-5 (BRDF n·v)
+CS_CSQV = 37   # sqrt(ndv²(1-a) + a) (BRDF Smith-vis v-term)
+CS_F0 = 38     # 38-40 Fresnel F0 rgb
+CS_OMM = 41    # 1 - metallic
+CS_G1 = 42     # Smith G1(|nh·v|, rgh) (VNDF pdf)
+CS_VIDEN = 43  # 1/(4|nh·v| + 1e-7) (VNDF pdf denominator)
+NCS = 44
+
+# Light vector layout ([1, NLIGHT] SMEM → broadcast planes): center(3),
+# emitted_radiance(3), width, depth, normal(3), tangent(3), bitangent(3).
+L_C = 0
+L_E = 3
+L_W = 6
+L_D = 7
+L_N = 8
+L_T = 11
+L_B = 14
+
+# Extended sample-table rows: the direction chains' per-sample
+# transcendentals, precomputed host-side (see _sample_tables).
+TAB_W0C, TAB_W1C, TAB_CTH, TAB_K0V, TAB_K1V, TAB_VCT = range(NTAB, NTAB + 6)
+NTAB_EXT = NTAB + 6
+
+
+# ---------------------------------------------------------------------------
+# Hand-written forward/reverse pairs (per-sample hot path).
+#
+# Each ``_fwd_*`` returns (primal outputs, res); the matching ``_rev_*``
+# consumes ``res`` plus the upstream cotangent and returns input cotangents
+# in the forward's argument order. All are pure jnp on planes — asserted
+# against jax.vjp of their own forward in tests/test_mis_fused.py.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_norm3(x, y, z, eps):
+    """y = x * rsqrt(max(|x|², eps)) — mirrors pallas_mis._normalize3."""
+    q = x * x + y * y + z * z
+    inv = jax.lax.rsqrt(jnp.maximum(q, eps))
+    return (x * inv, y * inv, z * inv), (x, y, z, inv, q >= eps)
+
+
+def _rev_norm3(res, dx_, dy_, dz_):
+    x, y, z, inv, ok = res
+    d_inv = x * dx_ + y * dy_ + z * dz_
+    d_q = jnp.where(ok, (-0.5) * inv * inv * inv * d_inv, 0.0)
+    return (inv * dx_ + 2.0 * x * d_q,
+            inv * dy_ + 2.0 * y * d_q,
+            inv * dz_ + 2.0 * z * d_q)
+
+
+def _fwd_dggx(ndh, rgh):
+    """D_GGX(n·h, roughness) — reference quirk: takes roughness, not α
+    (sampling.d_ggx / shaders.metal:291-300). The reciprocal is saved so
+    the reverse is division-free (VPU divides cost ~5-10x a multiply;
+    the whole sweep keeps this diet)."""
+    f = (ndh * rgh * rgh - ndh) * ndh + 1.0
+    inv_den = 1.0 / (_F32(PI) * f * f + 1e-12)
+    out = (rgh * rgh) * inv_den
+    return out, (ndh, rgh, f, inv_den, out)
+
+
+def _rev_dggx(res, d_out):
+    ndh, rgh, f, inv_den, out = res
+    d_rgh = 2.0 * rgh * inv_den * d_out
+    d_den = -(out * inv_den) * d_out
+    d_f = 2.0 * _F32(PI) * f * d_den
+    d_ndh = 2.0 * ndh * (rgh * rgh - 1.0) * d_f
+    d_rgh += 2.0 * rgh * ndh * ndh * d_f
+    return d_ndh, d_rgh
+
+
+def _fwd_smith_g1(ndv, rgh):
+    """Smith G1 for GGX (sampling.smith_g1_ggx). One rsqrt yields both s
+    and 1/s; one reciprocal yields both g1 and its reverse factor."""
+    a = rgh * rgh
+    a2 = a * a
+    nv2r = ndv * ndv
+    inv_nv2 = 1.0 / jnp.maximum(nv2r, 1e-12)
+    inner = 1.0 + a2 * (inv_nv2 - 1.0)   # == 1 + a2*(1-nv2)/nv2, inner >= 1
+    inv_s = jax.lax.rsqrt(inner)
+    s = inner * inv_s
+    inv_1ps = 1.0 / (1.0 + s)
+    g1 = 2.0 * inv_1ps
+    return g1, (ndv, rgh, a, a2, nv2r, inv_nv2, inv_s, inv_1ps, g1)
+
+
+def _rev_smith_g1(res, d_g1):
+    ndv, rgh, a, a2, nv2r, inv_nv2, inv_s, inv_1ps, g1 = res
+    d_s = -(g1 * inv_1ps) * d_g1
+    d_in = 0.5 * inv_s * d_s        # inner = s², s >= 1
+    d_a2 = (inv_nv2 - 1.0) * d_in
+    d_nv2 = -(a2 * inv_nv2 * inv_nv2) * d_in
+    d_ndv = jnp.where(nv2r >= 1e-12, 2.0 * ndv * d_nv2, 0.0)
+    d_rgh = 4.0 * rgh * a * d_a2    # a2 = rgh⁴
+    return d_ndv, d_rgh
+
+
+def _fwd_brdf(v3, n3, df3, met, rgh, l3):
+    """calculateBRDFContribution (shaders.metal:259-289) — mirrors
+    pallas_mis._brdf op-for-op. ``v`` is the view dir (= -incoming)."""
+    vx, vy, vz = v3
+    nx, ny, nz = n3
+    lx, ly, lz = l3
+    h3, res_h = _fwd_norm3(vx + lx, vy + ly, vz + lz, 1e-12)
+    hx, hy, hz = h3
+    ndv_raw = nx * vx + ny * vy + nz * vz
+    ndv = jnp.abs(ndv_raw) + 1e-5
+    ndl_raw = nx * lx + ny * ly + nz * lz
+    ndl = jnp.clip(ndl_raw, 0.0, 1.0)
+    ndh_raw = nx * hx + ny * hy + nz * hz
+    ndh = jnp.clip(ndh_raw, 0.0, 1.0)
+    ldh_raw = lx * hx + ly * hy + lz * hz
+    ldh = jnp.clip(ldh_raw, 0.0, 1.0)
+    omm = 1.0 - met
+    f0 = tuple(0.04 * omm + df3[c] * met for c in range(3))
+    dggx, res_d = _fwd_dggx(ndh, rgh)
+    # (1-ldh)^5 by squaring: pow lowers to a multi-cycle exp/log chain.
+    x1 = 1.0 - ldh
+    x2 = x1 * x1
+    x4 = x2 * x2
+    p5 = x4 * x1
+    fres = tuple(f0[c] + (1.0 - f0[c]) * p5 for c in range(3))
+    a = rgh * rgh
+    argl = (-ndl * a + ndl) * ndl + a
+    inv_sql = jax.lax.rsqrt(jnp.maximum(argl, 1e-12))
+    sql = jnp.maximum(argl, 1e-12) * inv_sql
+    ggx_l = ndv * sql
+    argv = (-ndv * a + ndv) * ndv + a
+    inv_sqv = jax.lax.rsqrt(jnp.maximum(argv, 1e-12))
+    sqv = jnp.maximum(argv, 1e-12) * inv_sqv
+    ggx_v = ndl * sqv
+    inv_sumg = 1.0 / (ggx_v + ggx_l + 1e-7)
+    vis = 0.5 * inv_sumg
+    inv_dens = 1.0 / (4.0 * ndv * ndl + 1e-7)
+    spec = dggx * vis * inv_dens
+    fd = _F32(1.0 / PI)
+    out = tuple((1.0 - fres[c]) * omm * (df3[c] * fd + spec * fres[c]) * ndl
+                for c in range(3))
+    res = (v3, n3, df3, met, rgh, l3, h3, res_h,
+           ndv_raw, ndv, ndl_raw, ndl, ndh_raw, ndh, ldh_raw, x4,
+           omm, f0, dggx, res_d, p5, fres, a, argl, inv_sql, sql, argv,
+           inv_sqv, sqv, vis, inv_sumg, inv_dens, spec)
+    return out, res
+
+
+def _rev_brdf(res, d_out):
+    (v3, n3, df3, met, rgh, l3, h3, res_h,
+     ndv_raw, ndv, ndl_raw, ndl, ndh_raw, ndh, ldh_raw, x4,
+     omm, f0, dggx, res_d, p5, fres, a, argl, inv_sql, sql, argv,
+     inv_sqv, sqv, vis, inv_sumg, inv_dens, spec) = res
+    fd = _F32(1.0 / PI)
+    zero = d_out[0] * 0.0
+    d_ndl = zero
+    d_ndv = zero
+    d_spec_acc = zero
+    d_omm = zero
+    d_met = zero
+    d_p5 = zero
+    d_a = zero
+    d_df = [zero, zero, zero]
+    for c in range(3):
+        g = d_out[c]
+        kd = (1.0 - fres[c]) * omm
+        inner = df3[c] * fd + spec * fres[c]
+        d_kd = inner * ndl * g
+        d_inner = kd * ndl * g
+        d_ndl += kd * inner * g
+        d_fc = spec * d_inner - omm * d_kd
+        d_omm += (1.0 - fres[c]) * d_kd
+        d_df[c] += fd * d_inner
+        d_spec_acc += fres[c] * d_inner
+        d_f0 = (1.0 - p5) * d_fc
+        d_p5 += (1.0 - f0[c]) * d_fc
+        d_omm += 0.04 * d_f0
+        d_df[c] += met * d_f0
+        d_met += df3[c] * d_f0
+    d_met -= d_omm
+    d_ldh = -5.0 * x4 * d_p5
+    # spec = dggx * vis * inv_dens
+    d_dggx = vis * inv_dens * d_spec_acc
+    d_vis = dggx * inv_dens * d_spec_acc
+    d_dens = -(spec * inv_dens) * d_spec_acc
+    d_ndv += 4.0 * ndl * d_dens
+    d_ndl += 4.0 * ndv * d_dens
+    d_sumg = -(vis * inv_sumg) * d_vis
+    # ggx_v = ndl * sqv ; ggx_l = ndv * sql
+    d_ndl += sqv * d_sumg
+    d_sqv = ndl * d_sumg
+    d_ndv += sql * d_sumg
+    d_sql = ndv * d_sumg
+    d_argv = jnp.where(argv >= 1e-12, 0.5 * inv_sqv * d_sqv, 0.0)
+    d_argl = jnp.where(argl >= 1e-12, 0.5 * inv_sql * d_sql, 0.0)
+    # arg = nd²(1-a) + a
+    d_ndv += 2.0 * ndv * (1.0 - a) * d_argv
+    d_a += (1.0 - ndv * ndv) * d_argv
+    d_ndl += 2.0 * ndl * (1.0 - a) * d_argl
+    d_a += (1.0 - ndl * ndl) * d_argl
+    d_ndh, d_rgh = _rev_dggx(res_d, d_dggx)
+    d_rgh += 2.0 * rgh * d_a
+    # gates
+    d_ldh_raw = jnp.where((ldh_raw >= 0.0) & (ldh_raw <= 1.0), d_ldh, 0.0)
+    d_ndh_raw = jnp.where((ndh_raw >= 0.0) & (ndh_raw <= 1.0), d_ndh, 0.0)
+    d_ndl_raw = jnp.where((ndl_raw >= 0.0) & (ndl_raw <= 1.0), d_ndl, 0.0)
+    d_ndv_raw = jnp.sign(ndv_raw) * d_ndv
+    hx, hy, hz = h3
+    vx, vy, vz = v3
+    nx, ny, nz = n3
+    lx, ly, lz = l3
+    d_n = (lx * d_ndl_raw + hx * d_ndh_raw + vx * d_ndv_raw,
+           ly * d_ndl_raw + hy * d_ndh_raw + vy * d_ndv_raw,
+           lz * d_ndl_raw + hz * d_ndh_raw + vz * d_ndv_raw)
+    d_l = [nx * d_ndl_raw + hx * d_ldh_raw,
+           ny * d_ndl_raw + hy * d_ldh_raw,
+           nz * d_ndl_raw + hz * d_ldh_raw]
+    d_h = (nx * d_ndh_raw + lx * d_ldh_raw,
+           ny * d_ndh_raw + ly * d_ldh_raw,
+           nz * d_ndh_raw + lz * d_ldh_raw)
+    d_v = [nx * d_ndv_raw, ny * d_ndv_raw, nz * d_ndv_raw]
+    dh = _rev_norm3(res_h, *d_h)
+    for c in range(3):
+        d_v[c] += dh[c]
+        d_l[c] += dh[c]
+    return tuple(d_v), d_n, tuple(d_df), d_met, d_rgh, tuple(d_l)
+
+
+def _fwd_vndf(v3, n3, l3, rgh):
+    """VNDF pdf: D·G1·|v·h| / (4|n·v| + 1e-7) — mirrors
+    pallas_mis._vndf_pdf (shaders.metal:437-445)."""
+    h3, res_h = _fwd_norm3(v3[0] + l3[0], v3[1] + l3[1], v3[2] + l3[2],
+                           1e-12)
+    ndh_raw = n3[0] * h3[0] + n3[1] * h3[1] + n3[2] * h3[2]
+    ndh = jnp.abs(ndh_raw)
+    vdh_raw = v3[0] * h3[0] + v3[1] * h3[1] + v3[2] * h3[2]
+    vdh = jnp.abs(vdh_raw)
+    ndv_raw = n3[0] * v3[0] + n3[1] * v3[1] + n3[2] * v3[2]
+    ndv = jnp.abs(ndv_raw)
+    dggx, res_d = _fwd_dggx(ndh, rgh)
+    g1, res_g = _fwd_smith_g1(ndv, rgh)
+    inv_den = 1.0 / (4.0 * ndv + 1e-7)
+    pdf = dggx * g1 * vdh * inv_den
+    res = (v3, n3, l3, h3, res_h, ndh_raw, vdh_raw, ndv_raw,
+           dggx, res_d, g1, res_g, vdh, inv_den, pdf)
+    return pdf, res
+
+
+def _rev_vndf(res, d_pdf):
+    (v3, n3, l3, h3, res_h, ndh_raw, vdh_raw, ndv_raw,
+     dggx, res_d, g1, res_g, vdh, inv_den, pdf) = res
+    d_dggx = g1 * vdh * inv_den * d_pdf
+    d_g1 = dggx * vdh * inv_den * d_pdf
+    d_vdh = dggx * g1 * inv_den * d_pdf
+    d_den = -(pdf * inv_den) * d_pdf
+    d_ndv = 4.0 * d_den
+    d_ndh, d_rgh = _rev_dggx(res_d, d_dggx)
+    d_ndv_g, d_rgh_g = _rev_smith_g1(res_g, d_g1)
+    d_ndv += d_ndv_g
+    d_rgh += d_rgh_g
+    d_ndh_raw = jnp.sign(ndh_raw) * d_ndh
+    d_vdh_raw = jnp.sign(vdh_raw) * d_vdh
+    d_ndv_raw = jnp.sign(ndv_raw) * d_ndv
+    d_n = (h3[0] * d_ndh_raw + v3[0] * d_ndv_raw,
+           h3[1] * d_ndh_raw + v3[1] * d_ndv_raw,
+           h3[2] * d_ndh_raw + v3[2] * d_ndv_raw)
+    d_v = [h3[0] * d_vdh_raw + n3[0] * d_ndv_raw,
+           h3[1] * d_vdh_raw + n3[1] * d_ndv_raw,
+           h3[2] * d_vdh_raw + n3[2] * d_ndv_raw]
+    d_h = (n3[0] * d_ndh_raw + v3[0] * d_vdh_raw,
+           n3[1] * d_ndh_raw + v3[1] * d_vdh_raw,
+           n3[2] * d_ndh_raw + v3[2] * d_vdh_raw)
+    dh = _rev_norm3(res_h, *d_h)
+    d_l = (dh[0], dh[1], dh[2])
+    for c in range(3):
+        d_v[c] += dh[c]
+    return tuple(d_v), d_n, d_l, d_rgh
+
+
+def _fwd_cospdf(n3, d3):
+    """Cosine-hemisphere pdf max(0, n·d)/π."""
+    raw = n3[0] * d3[0] + n3[1] * d3[1] + n3[2] * d3[2]
+    return jnp.maximum(0.0, raw) * _F32(1.0 / PI), raw
+
+
+def _rev_cospdf(n3, d3, raw, d_pdf):
+    d_raw = jnp.where(raw >= 0.0, d_pdf * _F32(1.0 / PI), 0.0)
+    d_n = (d3[0] * d_raw, d3[1] * d_raw, d3[2] * d_raw)
+    d_d = (n3[0] * d_raw, n3[1] * d_raw, n3[2] * d_raw)
+    return d_n, d_d
+
+
+def _fwd_lightpdf(lightp, q3, dir3):
+    """Square-light pdf to the light *center* (shaders.metal:315-326
+    quirk) — mirrors pallas_mis.square_light_pdf."""
+    to = (lightp[L_C] - q3[0], lightp[L_C + 1] - q3[1],
+          lightp[L_C + 2] - q3[2])
+    dist2 = to[0] * to[0] + to[1] * to[1] + to[2] * to[2]
+    ct_raw = -(dir3[0] * lightp[L_N] + dir3[1] * lightp[L_N + 1]
+               + dir3[2] * lightp[L_N + 2])
+    cos_t = jnp.maximum(0.0, ct_raw)
+    inv_den = 1.0 / (lightp[L_W] * lightp[L_D] * cos_t + 1e-6)
+    pdf = dist2 * inv_den
+    res = (q3, dir3, to, ct_raw, cos_t, inv_den, pdf,
+           lightp[L_W], lightp[L_D],
+           (lightp[L_N], lightp[L_N + 1], lightp[L_N + 2]))
+    return pdf, res
+
+
+def _rev_lightpdf(res, d_pdf, d_lightp):
+    """Accumulates light cotangents into ``d_lightp`` (list, mutated);
+    returns (d_q, d_dir)."""
+    q3, dir3, to, ct_raw, cos_t, inv_den, pdf, lw, ldep, ln = res
+    d_dist2 = d_pdf * inv_den
+    d_den = -(pdf * inv_den) * d_pdf
+    d_lightp[L_W] += ldep * cos_t * d_den
+    d_lightp[L_D] += lw * cos_t * d_den
+    d_ct = jnp.where(ct_raw >= 0.0, lw * ldep * d_den, 0.0)
+    d_dir = [-ln[0] * d_ct, -ln[1] * d_ct, -ln[2] * d_ct]
+    for c in range(3):
+        d_lightp[L_N + c] += -dir3[c] * d_ct
+    d_q = []
+    for c in range(3):
+        d_to = 2.0 * to[c] * d_dist2
+        d_lightp[L_C + c] += d_to
+        d_q.append(-d_to)
+    return tuple(d_q), d_dir
+
+
+def _fwd_ph3(p1, p2, p3, n):
+    """β=1 power heuristic with per-strategy count n
+    (shaders.metal:132-137)."""
+    aa = n * p1
+    inv_den = 1.0 / (aa + n * p2 + n * p3 + 1e-6)
+    w = aa * inv_den
+    return w, (inv_den, w, n)
+
+
+def _rev_ph3(res, d_w):
+    inv_den, w, n = res
+    t = d_w * inv_den
+    return n * (1.0 - w) * t, -n * w * t, -n * w * t
+
+
+def _fwd_bv(cs, l3):
+    """Camera-material BRDF + VNDF pdf toward ``l3`` — the three
+    per-sample (v, nh, material) sites. Every direction-independent
+    subexpression (n·v, F0, 1-met, GGX 'a', the Smith-vis v-term, Smith
+    G1, the VNDF denominator) comes precomputed from the hoist stage,
+    and the half-vector normalize(v + l) + its dots are shared between
+    the BRDF and the VNDF pdf (they are identical). ~30% cheaper than
+    the generic _fwd_brdf + _fwd_vndf pair (op census, round 5)."""
+    v3 = (cs[CS_V], cs[CS_V + 1], cs[CS_V + 2])
+    n3 = (cs[CS_NH], cs[CS_NH + 1], cs[CS_NH + 2])
+    df3 = (cs[CS_DF], cs[CS_DF + 1], cs[CS_DF + 2])
+    rgh = cs[CS_RGH]
+    a = cs[CS_ALPHA]
+    ndv = cs[CS_CNDV]
+    sqv = cs[CS_CSQV]
+    f0 = (cs[CS_F0], cs[CS_F0 + 1], cs[CS_F0 + 2])
+    omm = cs[CS_OMM]
+    g1 = cs[CS_G1]
+    viden = cs[CS_VIDEN]
+    h3, res_h = _fwd_norm3(v3[0] + l3[0], v3[1] + l3[1], v3[2] + l3[2],
+                           1e-12)
+    ndl_raw = n3[0] * l3[0] + n3[1] * l3[1] + n3[2] * l3[2]
+    ndl = jnp.clip(ndl_raw, 0.0, 1.0)
+    ndh_raw = n3[0] * h3[0] + n3[1] * h3[1] + n3[2] * h3[2]
+    ndh_b = jnp.clip(ndh_raw, 0.0, 1.0)
+    ldh_raw = l3[0] * h3[0] + l3[1] * h3[1] + l3[2] * h3[2]
+    ldh = jnp.clip(ldh_raw, 0.0, 1.0)
+    dggx_b, res_db = _fwd_dggx(ndh_b, rgh)
+    x1 = 1.0 - ldh
+    x2 = x1 * x1
+    x4 = x2 * x2
+    p5 = x4 * x1
+    q15 = 1.0 - p5
+    fres = tuple(f0[c] * q15 + p5 for c in range(3))
+    argl = (-ndl * a + ndl) * ndl + a
+    inv_sql = jax.lax.rsqrt(jnp.maximum(argl, 1e-12))
+    sql = jnp.maximum(argl, 1e-12) * inv_sql
+    inv_sumg = 1.0 / (ndl * sqv + ndv * sql + 1e-7)
+    vis = 0.5 * inv_sumg
+    inv_dens = 1.0 / (4.0 * ndv * ndl + 1e-7)
+    spec = dggx_b * vis * inv_dens
+    fd = _F32(1.0 / PI)
+    out = tuple((1.0 - fres[c]) * omm * (df3[c] * fd + spec * fres[c]) * ndl
+                for c in range(3))
+    ndh_v = jnp.abs(ndh_raw)
+    vdh_raw = v3[0] * h3[0] + v3[1] * h3[1] + v3[2] * h3[2]
+    vdh = jnp.abs(vdh_raw)
+    dggx_v, res_dv = _fwd_dggx(ndh_v, rgh)
+    pdf = dggx_v * g1 * vdh * viden
+    res = (v3, n3, df3, l3, rgh, a, ndv, sqv, f0, omm, g1, viden, h3,
+           res_h, ndl_raw, ndl, ndh_raw, ldh_raw, x4, p5, q15, fres,
+           dggx_b, res_db, argl, inv_sql, sql, inv_sumg, vis, inv_dens,
+           spec, vdh_raw, vdh, dggx_v, res_dv)
+    return out, pdf, res
+
+
+def _rev_bv(res, d_out, d_pdf):
+    """Reverse of _fwd_bv. Returns a dict of cotangents: ``d_l`` plus
+    one entry per consumed hoisted plane (accumulated into d_cs by the
+    caller; the hoist vjp carries them back to (d, nh, material))."""
+    (v3, n3, df3, l3, rgh, a, ndv, sqv, f0, omm, g1, viden, h3,
+     res_h, ndl_raw, ndl, ndh_raw, ldh_raw, x4, p5, q15, fres,
+     dggx_b, res_db, argl, inv_sql, sql, inv_sumg, vis, inv_dens,
+     spec, vdh_raw, vdh, dggx_v, res_dv) = res
+    fd = _F32(1.0 / PI)
+    zero = d_out[0] * 0.0
+    d_ndl = zero
+    d_spec = zero
+    d_omm = zero
+    d_p5 = zero
+    d_df = [zero, zero, zero]
+    d_f0 = [zero, zero, zero]
+    for c in range(3):
+        g = d_out[c]
+        kd = (1.0 - fres[c]) * omm
+        inner = df3[c] * fd + spec * fres[c]
+        gi = ndl * g
+        d_kd = inner * gi
+        d_inner = kd * gi
+        d_ndl += (kd * inner) * g
+        d_fc = spec * d_inner - omm * d_kd
+        d_omm += (1.0 - fres[c]) * d_kd
+        d_df[c] = fd * d_inner
+        d_spec += fres[c] * d_inner
+        d_f0[c] = q15 * d_fc
+        d_p5 += (1.0 - f0[c]) * d_fc
+    d_ldh = -5.0 * x4 * d_p5
+    # spec = dggx_b * vis * inv_dens
+    d_dggx_b = vis * inv_dens * d_spec
+    d_vis = dggx_b * inv_dens * d_spec
+    d_dens = -(spec * inv_dens) * d_spec
+    d_ndv = 4.0 * ndl * d_dens
+    d_ndl += 4.0 * ndv * d_dens
+    d_sumg = -(vis * inv_sumg) * d_vis
+    d_ndl += sqv * d_sumg
+    d_sqv = ndl * d_sumg
+    d_ndv += sql * d_sumg
+    d_sql = ndv * d_sumg
+    d_argl = jnp.where(argl >= 1e-12, 0.5 * inv_sql * d_sql, 0.0)
+    d_ndl += 2.0 * ndl * (1.0 - a) * d_argl
+    d_a = (1.0 - ndl * ndl) * d_argl
+    d_ndh_b, d_rgh = _rev_dggx(res_db, d_dggx_b)
+    # VNDF pdf = dggx_v * g1 * vdh * viden
+    gv = g1 * vdh
+    d_dggx_v = gv * viden * d_pdf
+    d_g1 = dggx_v * vdh * viden * d_pdf
+    d_vdh = dggx_v * g1 * viden * d_pdf
+    d_viden = dggx_v * gv * d_pdf
+    d_ndh_v, d_rgh_v = _rev_dggx(res_dv, d_dggx_v)
+    d_rgh += d_rgh_v
+    # gates
+    d_ndh_raw = (jnp.where((ndh_raw >= 0.0) & (ndh_raw <= 1.0),
+                           d_ndh_b, 0.0)
+                 + jnp.sign(ndh_raw) * d_ndh_v)
+    d_ndl_raw = jnp.where((ndl_raw >= 0.0) & (ndl_raw <= 1.0), d_ndl, 0.0)
+    d_ldh_raw = jnp.where((ldh_raw >= 0.0) & (ldh_raw <= 1.0), d_ldh, 0.0)
+    d_vdh_raw = jnp.sign(vdh_raw) * d_vdh
+    d_n = tuple(l3[c] * d_ndl_raw + h3[c] * d_ndh_raw for c in range(3))
+    d_l = [n3[c] * d_ndl_raw + h3[c] * d_ldh_raw for c in range(3)]
+    d_h = tuple(n3[c] * d_ndh_raw + l3[c] * d_ldh_raw
+                + v3[c] * d_vdh_raw for c in range(3))
+    d_v = [h3[c] * d_vdh_raw for c in range(3)]
+    dh = _rev_norm3(res_h, *d_h)
+    for c in range(3):
+        d_v[c] += dh[c]
+        d_l[c] += dh[c]
+    return dict(d_l=d_l, d_v=d_v, d_n=d_n, d_df=d_df, d_rgh=d_rgh,
+                d_a=d_a, d_ndv=d_ndv, d_sqv=d_sqv, d_f0=d_f0,
+                d_omm=d_omm, d_g1=d_g1, d_viden=d_viden)
+
+
+def _fwd_lsample(lightp, o3, u0, u1):
+    """Light-rectangle sample point + unit direction from origin ``o3``
+    (the first half of calculateDirectLightSamplingContribution)."""
+    su0 = u0 - 0.5
+    su1 = u1 - 0.5
+    sw = su0 * lightp[L_W]
+    sdep = su1 * lightp[L_D]
+    to = tuple(lightp[L_C + c] + lightp[L_T + c] * sw
+               + lightp[L_B + c] * sdep - o3[c] for c in range(3))
+    q2 = to[0] * to[0] + to[1] * to[1] + to[2] * to[2]
+    inv_dist = jax.lax.rsqrt(jnp.maximum(q2, 1e-30))
+    ld = tuple(to[c] * inv_dist for c in range(3))
+    return ld, (to, q2, inv_dist, su0, su1, lightp)
+
+
+def _rev_lsample(res, d_ld, d_lightp):
+    """Accumulates light cotangents into ``d_lightp``; returns d_o."""
+    to, q2, inv_dist, su0, su1, lightp = res
+    d_to = [inv_dist * d_ld[0], inv_dist * d_ld[1], inv_dist * d_ld[2]]
+    d_invd = to[0] * d_ld[0] + to[1] * d_ld[1] + to[2] * d_ld[2]
+    d_q2 = jnp.where(q2 >= 1e-30,
+                     -0.5 * inv_dist * inv_dist * inv_dist * d_invd, 0.0)
+    lw = lightp[L_W]
+    ldep = lightp[L_D]
+    d_o = []
+    for c in range(3):
+        d_to[c] += 2.0 * to[c] * d_q2
+        d_s = d_to[c]
+        d_lightp[L_C + c] += d_s
+        d_lightp[L_T + c] += su0 * lw * d_s
+        d_lightp[L_W] += su0 * lightp[L_T + c] * d_s
+        d_lightp[L_B + c] += su1 * ldep * d_s
+        d_lightp[L_D] += su1 * lightp[L_B + c] * d_s
+        d_o.append(-d_s)
+    return tuple(d_o)
+
+
+def _fwd_direct_light(lightp, q3, n3, inc3, df3, met, rgh, u0, u1, gate,
+                      s_per_f, heuristic):
+    """calculateDirectLightSamplingContribution (shaders.metal:519-541)
+    with the probe's visibility decision supplied as the recorded ``gate``
+    (= active & reach). ``u0, u1`` are SMEM scalars. Mirrors the trace
+    kernel's direct_light minus the ray-scene probe."""
+    ox = q3[0] + n3[0] * 1e-4
+    oy = q3[1] + n3[1] * 1e-4
+    oz = q3[2] + n3[2] * 1e-4
+    su0 = (u0 - 0.5) * lightp[L_W]
+    su1 = (u1 - 0.5) * lightp[L_D]
+    sx = lightp[L_C] + lightp[L_T] * su0 + lightp[L_B] * su1
+    sy = lightp[L_C + 1] + lightp[L_T + 1] * su0 + lightp[L_B + 1] * su1
+    sz = lightp[L_C + 2] + lightp[L_T + 2] * su0 + lightp[L_B + 2] * su1
+    tox, toy, toz = sx - ox, sy - oy, sz - oz
+    q2 = tox * tox + toy * toy + toz * toz
+    inv_dist = jax.lax.rsqrt(jnp.maximum(q2, 1e-30))
+    ld = (tox * inv_dist, toy * inv_dist, toz * inv_dist)
+    pdf_l, res_pl = _fwd_lightpdf(lightp, q3, ld)
+    v3 = (-inc3[0], -inc3[1], -inc3[2])
+    b3, res_b = _fwd_brdf(v3, n3, df3, met, rgh, ld)
+    inv_pdf = 1.0 / pdf_l
+    le = (lightp[L_E], lightp[L_E + 1], lightp[L_E + 2])
+    cpre = tuple(b3[c] * le[c] * inv_pdf for c in range(3))
+    if heuristic:
+        pdf_c, raw_pc = _fwd_cospdf(n3, ld)
+        pdf_v, res_pv = _fwd_vndf(v3, n3, ld, rgh)
+        w, res_w = _fwd_ph3(pdf_l, pdf_c, pdf_v, s_per_f)
+        out = tuple(jnp.where(gate, cpre[c] * w, 0.0) for c in range(3))
+        res_h = (raw_pc, res_pv, res_w, w)
+    else:
+        out = tuple(jnp.where(gate, cpre[c], 0.0) for c in range(3))
+        res_h = None
+    res = (q3, n3, v3, ld, (tox, toy, toz), q2, inv_dist, res_pl, b3,
+           res_b, inv_pdf, le, cpre, gate, u0, u1, res_h, lightp)
+    return out, res
+
+
+def _rev_direct_light(res, d_out, d_lightp):
+    """Accumulates light cotangents into ``d_lightp``; returns
+    (d_q, d_n, d_inc, d_df, d_met, d_rgh)."""
+    (q3, n3, v3, ld, to3, q2, inv_dist, res_pl, b3, res_b,
+     inv_pdf, le, cpre, gate, u0, u1, res_h, lightp) = res
+    zero = d_out[0] * 0.0
+    d_b = [zero, zero, zero]
+    d_inv_pdf = zero
+    d_ld = [zero, zero, zero]
+    d_n_acc = [zero, zero, zero]
+    d_rgh_acc = zero
+    d_pdf_l = zero
+    if res_h is not None:
+        raw_pc, res_pv, res_w, w = res_h
+        d_w = zero
+        d_cpre = []
+        for c in range(3):
+            g = jnp.where(gate, d_out[c], 0.0)
+            d_w += cpre[c] * g
+            d_cpre.append(w * g)
+        d_pl_w, d_pc, d_pv = _rev_ph3(res_w, d_w)
+        d_pdf_l += d_pl_w
+        dn_c, dd_c = _rev_cospdf(n3, ld, raw_pc, d_pc)
+        d_v_pv, dn_v, dd_v, d_rgh_pv = _rev_vndf(res_pv, d_pv)
+        d_rgh_acc += d_rgh_pv
+        d_v = [d_v_pv[0], d_v_pv[1], d_v_pv[2]]
+        for c in range(3):
+            d_n_acc[c] += dn_c[c] + dn_v[c]
+            d_ld[c] += dd_c[c] + dd_v[c]
+    else:
+        d_cpre = [jnp.where(gate, d_out[c], 0.0) for c in range(3)]
+        d_v = [zero, zero, zero]
+    for c in range(3):
+        d_b[c] += le[c] * inv_pdf * d_cpre[c]
+        d_lightp[L_E + c] += b3[c] * inv_pdf * d_cpre[c]
+        d_inv_pdf += b3[c] * le[c] * d_cpre[c]
+    d_pdf_l += -(inv_pdf * inv_pdf) * d_inv_pdf
+    # brdf
+    d_v_b, d_n_b, d_df, d_met, d_rgh_b, d_l_b = _rev_brdf(res_b, tuple(d_b))
+    d_rgh_acc += d_rgh_b
+    for c in range(3):
+        d_v[c] += d_v_b[c]
+        d_n_acc[c] += d_n_b[c]
+        d_ld[c] += d_l_b[c]
+    # light pdf (uses q, ld)
+    d_q_pl, d_ld_pl = _rev_lightpdf(res_pl, d_pdf_l, d_lightp)
+    for c in range(3):
+        d_ld[c] += d_ld_pl[c]
+    d_q = [d_q_pl[0], d_q_pl[1], d_q_pl[2]]
+    # ld = to * rsqrt(max(to·to, 1e-30)) — same reverse as _rev_norm3
+    tox, toy, toz = to3
+    d_to = [inv_dist * d_ld[0], inv_dist * d_ld[1], inv_dist * d_ld[2]]
+    d_invd = tox * d_ld[0] + toy * d_ld[1] + toz * d_ld[2]
+    d_q2 = jnp.where(q2 >= 1e-30,
+                     -0.5 * inv_dist * inv_dist * inv_dist * d_invd, 0.0)
+    d_to[0] += 2.0 * tox * d_q2
+    d_to[1] += 2.0 * toy * d_q2
+    d_to[2] += 2.0 * toz * d_q2
+    # to = s - o ; s = lc + lt*su0 + lb*su1 ; o = q + n*1e-4
+    su0 = (u0 - 0.5)
+    su1 = (u1 - 0.5)
+    lw = lightp[L_W]
+    ldep = lightp[L_D]
+    for c in range(3):
+        d_s = d_to[c]
+        d_lightp[L_C + c] += d_s
+        d_lightp[L_T + c] += su0 * lw * d_s
+        d_lightp[L_W] += su0 * lightp[L_T + c] * d_s
+        d_lightp[L_B + c] += su1 * ldep * d_s
+        d_lightp[L_D] += su1 * lightp[L_B + c] * d_s
+        d_q[c] += -d_to[c]
+        d_n_acc[c] += -1e-4 * d_to[c]
+    d_inc = (-d_v[0], -d_v[1], -d_v[2])
+    return (tuple(d_q), tuple(d_n_acc), d_inc, d_df, d_met, d_rgh_acc)
+
+
+def _fwd_bounce(cs, lightp, at2, hit2, sec_reach, sd3, pdf_self, w,
+                su0, su1, surf, s_per_f, num_spheres, b2):
+    """Shared cosine/VNDF bounce body (shaders.metal:562-623) with the
+    recorded closest-hit winner's attributes ``at2`` and the recorded
+    secondary light reach ``sec_reach``. The camera-material BRDF toward
+    ``sd3`` arrives precomputed (``b2``, from _fwd_bv — its reverse
+    returns d_b2 for the caller to route). Mirrors the trace kernel's
+    bounce_strategy minus the traversals."""
+    off = (cs[CS_OFF], cs[CS_OFF + 1], cs[CS_OFF + 2])
+    n2t = (at2[0], at2[1], at2[2])
+    c02 = at2[3]
+    den2 = sd3[0] * n2t[0] + sd3[1] * n2t[1] + sd3[2] * n2t[2]
+    ok2 = jnp.abs(den2) >= 1e-12
+    inv_sden2 = 1.0 / jnp.where(ok2, den2, 1.0)
+    num2 = c02 - (off[0] * n2t[0] + off[1] * n2t[1] + off[2] * n2t[2])
+    t2p = num2 * inv_sden2
+    t2 = t2p
+    sph = None
+    if num_spheres:
+        # Analytic sphere replay (mirrors _mis_kernel.sphere_roots /
+        # pallas_shade's sphere chain op-for-op).
+        is_sph = at2[14] > 0.5
+        oc = (off[0] - at2[10], off[1] - at2[11], off[2] - at2[12])
+        rad = at2[13]
+        a_q = sd3[0] * sd3[0] + sd3[1] * sd3[1] + sd3[2] * sd3[2]
+        b_q = 2.0 * (oc[0] * sd3[0] + oc[1] * sd3[1] + oc[2] * sd3[2])
+        c_q = (oc[0] * oc[0] + oc[1] * oc[1] + oc[2] * oc[2]) - rad * rad
+        disc = b_q * b_q - 4.0 * a_q * c_q
+        posd = disc > 0.0
+        sq = jnp.sqrt(jnp.where(posd, disc, 1.0))
+        t1 = (-b_q - sq) / (2.0 * a_q)
+        t2q = (-b_q + sq) / (2.0 * a_q)
+        t1_ok = (t1 > RAY_TMIN) & (t1 < RAY_TMAX)
+        t_sph = jnp.where(t1_ok, t1, t2q)
+        t2 = jnp.where(is_sph, t_sph, t2p)
+        sph = dict(is_sph=is_sph, oc=oc, rad=rad, a_q=a_q, b_q=b_q,
+                   c_q=c_q, posd=posd, sq=sq, t1=t1, t2q=t2q, t1_ok=t1_ok)
+    pdf_ok = pdf_self > 0.0
+    inv_pdf = jnp.where(pdf_ok, 1.0 / jnp.where(pdf_ok, pdf_self, 1.0), 0.0)
+    isem2 = at2[9] > 0.5
+    hit_light = surf & hit2 & isem2
+    hit_geo = surf & hit2 & ~isem2
+    le = (lightp[L_E], lightp[L_E + 1], lightp[L_E + 2])
+    t2s = jnp.where(hit_geo, t2, 0.0)
+    bp = (off[0] + sd3[0] * t2s, off[1] + sd3[1] * t2s,
+          off[2] + sd3[2] * t2s)
+    n2 = n2t
+    sphn = None
+    if num_spheres:
+        sel = hit_geo & sph["is_sph"]
+        nv = (bp[0] - at2[10], bp[1] - at2[11], bp[2] - at2[12])
+        qn = nv[0] * nv[0] + nv[1] * nv[1] + nv[2] * nv[2]
+        inv_n = jax.lax.rsqrt(jnp.maximum(qn, 1e-6))
+        n2 = (jnp.where(sel, nv[0] * inv_n, n2t[0]),
+              jnp.where(sel, nv[1] * inv_n, n2t[1]),
+              jnp.where(sel, nv[2] * inv_n, n2t[2]))
+        sphn = dict(sel=sel, nv=nv, qn=qn, inv_n=inv_n)
+    df2 = (at2[4], at2[5], at2[6])
+    dl3, res_dl = _fwd_direct_light(lightp, bp, n2, sd3, df2, at2[7],
+                                    at2[8], su0, su1, hit_geo & sec_reach,
+                                    s_per_f, False)
+    out = tuple(jnp.where(hit_light, w * b2[c] * le[c] * inv_pdf, 0.0)
+                + jnp.where(hit_geo, b2[c] * inv_pdf * dl3[c], 0.0)
+                for c in range(3))
+    res = (off, sd3, n2t, ok2, inv_sden2, t2p, sph, b2, pdf_ok,
+           inv_pdf, hit_light, hit_geo, le, t2s, bp, sphn, dl3, res_dl, w,
+           lightp, at2)
+    return out, res
+
+
+def _rev_bounce(res, d_out, d_lightp, d_at2, num_spheres):
+    """Accumulates light/at2 cotangents into ``d_lightp``/``d_at2``
+    (lists, mutated); returns a dict of cs-level cotangents plus
+    (d_sd, d_pdf_self, d_w)."""
+    (off, sd3, n2t, ok2, inv_sden2, t2p, sph, b2, pdf_ok,
+     inv_pdf, hit_light, hit_geo, le, t2s, bp, sphn, dl3, res_dl, w,
+     lightp, at2) = res
+    zero = d_out[0] * 0.0
+    d_b2 = [zero, zero, zero]
+    d_inv_pdf = zero
+    d_w = zero
+    d_dl = [zero, zero, zero]
+    for c in range(3):
+        d_lt = jnp.where(hit_light, d_out[c], 0.0)
+        d_g = jnp.where(hit_geo, d_out[c], 0.0)
+        # g = b2 * inv_pdf * dl
+        d_b2[c] += inv_pdf * dl3[c] * d_g
+        d_inv_pdf += b2[c] * dl3[c] * d_g
+        d_dl[c] = b2[c] * inv_pdf * d_g
+        # lt = w * b2 * le * inv_pdf
+        d_w += b2[c] * le[c] * inv_pdf * d_lt
+        d_b2[c] += w * le[c] * inv_pdf * d_lt
+        d_lightp[L_E + c] += w * b2[c] * inv_pdf * d_lt
+        d_inv_pdf += w * b2[c] * le[c] * d_lt
+    d_pdf_self = jnp.where(pdf_ok, -(inv_pdf * inv_pdf) * d_inv_pdf, 0.0)
+    # secondary direct light
+    d_bp_t, d_n2, d_sd_dl, d_df2, d_met2, d_rgh2 = _rev_direct_light(
+        res_dl, tuple(d_dl), d_lightp)
+    d_bp = list(d_bp_t)
+    d_sd = list(d_sd_dl)
+    d_at2[4] += d_df2[0]
+    d_at2[5] += d_df2[1]
+    d_at2[6] += d_df2[2]
+    d_at2[7] += d_met2
+    d_at2[8] += d_rgh2
+    # n2 select (sphere point normal)
+    if num_spheres:
+        sel = sphn["sel"]
+        nv = sphn["nv"]
+        inv_n = sphn["inv_n"]
+        d_n2t = [jnp.where(sel, 0.0, d_n2[c]) for c in range(3)]
+        d_nv = [jnp.where(sel, d_n2[c], 0.0) * inv_n for c in range(3)]
+        d_inv_n = (nv[0] * jnp.where(sel, d_n2[0], 0.0)
+                   + nv[1] * jnp.where(sel, d_n2[1], 0.0)
+                   + nv[2] * jnp.where(sel, d_n2[2], 0.0))
+        d_qn = jnp.where(sphn["qn"] >= 1e-6,
+                         -0.5 * inv_n * inv_n * inv_n * d_inv_n, 0.0)
+        for c in range(3):
+            d_nv[c] += 2.0 * nv[c] * d_qn
+            d_bp[c] += d_nv[c]
+            d_at2[10 + c] += -d_nv[c]
+    else:
+        d_n2t = [d_n2[0], d_n2[1], d_n2[2]]
+    # bp = off + sd * t2s
+    d_off = [d_bp[0], d_bp[1], d_bp[2]]
+    d_t2s = sd3[0] * d_bp[0] + sd3[1] * d_bp[1] + sd3[2] * d_bp[2]
+    for c in range(3):
+        d_sd[c] += t2s * d_bp[c]
+    d_t2 = jnp.where(hit_geo, d_t2s, 0.0)
+    # t2 select: sphere quadratic vs plane
+    if num_spheres:
+        is_sph = sph["is_sph"]
+        d_tsph = jnp.where(is_sph, d_t2, 0.0)
+        d_t2p = jnp.where(is_sph, 0.0, d_t2)
+        t1_ok = sph["t1_ok"]
+        a_q, b_q, c_q = sph["a_q"], sph["b_q"], sph["c_q"]
+        d_t1 = jnp.where(t1_ok, d_tsph, 0.0)
+        d_t2q = jnp.where(t1_ok, 0.0, d_tsph)
+        inv2a = 1.0 / (2.0 * a_q)
+        d_b_q = -(d_t1 + d_t2q) * inv2a
+        d_sq = (d_t2q - d_t1) * inv2a
+        d_a_q = -(sph["t1"] * d_t1 + sph["t2q"] * d_t2q) / a_q
+        d_disc = jnp.where(sph["posd"], d_sq / (2.0 * sph["sq"]), 0.0)
+        d_b_q += 2.0 * b_q * d_disc
+        d_a_q += -4.0 * c_q * d_disc
+        d_c_q = -4.0 * a_q * d_disc
+        oc = sph["oc"]
+        d_at2[13] += -2.0 * sph["rad"] * d_c_q
+        for c in range(3):
+            d_oc = 2.0 * oc[c] * d_c_q + 2.0 * sd3[c] * d_b_q
+            d_sd[c] += 2.0 * oc[c] * d_b_q + 2.0 * sd3[c] * d_a_q
+            d_off[c] += d_oc
+            d_at2[10 + c] += -d_oc
+    else:
+        d_t2p = d_t2
+    # plane chain: t2p = (c02 - off·n2t) * inv_sden2
+    d_num = d_t2p * inv_sden2
+    d_sden = -(t2p * inv_sden2) * d_t2p
+    d_den2 = jnp.where(ok2, d_sden, 0.0)
+    d_at2[3] += d_num
+    for c in range(3):
+        d_off[c] += -n2t[c] * d_num
+        d_n2t[c] += sd3[c] * d_den2 - off[c] * d_num
+        d_sd[c] += n2t[c] * d_den2
+        d_at2[c] += d_n2t[c]
+    return dict(d_off=d_off, d_b2=tuple(d_b2), d_sd=d_sd,
+                d_pdf_self=d_pdf_self, d_w=d_w)
+
+
+def _sample_fwd_rev(cs, lightp, tabsc, reach1, reach2, reach3,
+                    hit_c, at_c, hit_v, at_v, surf, gs, s_per_f,
+                    d_cs, d_lightp, d_at_c, d_at_v, num_spheres):
+    """Forward recompute + hand-written reverse for ONE MIS sample (all
+    three strategies). ``gs`` is the upstream rgb cotangent already gated
+    by surf and scaled by 1/s_per; ``tabsc`` the sample's SMEM scalar
+    draws. Accumulates into the d_* lists (mutated in place). The forward
+    mirrors pallas_mis._mis_kernel.one_sample with the hoisted
+    sample-invariant frames supplied via ``cs``."""
+    m1, m2, m3 = DEBUG_STRATEGY_MASK
+    d3 = (cs[CS_D], cs[CS_D + 1], cs[CS_D + 2])
+    p3 = (cs[CS_P], cs[CS_P + 1], cs[CS_P + 2])
+    nh3 = (cs[CS_NH], cs[CS_NH + 1], cs[CS_NH + 2])
+    t3 = (cs[CS_T], cs[CS_T + 1], cs[CS_T + 2])
+    b3 = (cs[CS_B], cs[CS_B + 1], cs[CS_B + 2])
+    ve3 = (cs[CS_VE], cs[CS_VE + 1], cs[CS_VE + 2])
+    t1v3 = (cs[CS_T1], cs[CS_T1 + 1], cs[CS_T1 + 2])
+    t2v3 = (cs[CS_T2], cs[CS_T2 + 1], cs[CS_T2 + 2])
+    alpha = cs[CS_ALPHA]
+    off3 = (cs[CS_OFF], cs[CS_OFF + 1], cs[CS_OFF + 2])
+
+    def apply_bv(bv):
+        """Route a _rev_bv cotangent dict into the hoisted-plane slots."""
+        for c in range(3):
+            d_cs[CS_V + c] += bv["d_v"][c]
+            d_cs[CS_NH + c] += bv["d_n"][c]
+            d_cs[CS_DF + c] += bv["d_df"][c]
+            d_cs[CS_F0 + c] += bv["d_f0"][c]
+        d_cs[CS_RGH] += bv["d_rgh"]
+        d_cs[CS_ALPHA] += bv["d_a"]
+        d_cs[CS_CNDV] += bv["d_ndv"]
+        d_cs[CS_CSQV] += bv["d_sqv"]
+        d_cs[CS_OMM] += bv["d_omm"]
+        d_cs[CS_G1] += bv["d_g1"]
+        d_cs[CS_VIDEN] += bv["d_viden"]
+
+    # ---- Strategy 1: light sampling (heuristic-weighted) ----------------
+    if m1:
+        ld1, res_ls1 = _fwd_lsample(lightp, off3, tabsc[TAB_LU0],
+                                    tabsc[TAB_LU1])
+        pdf_l1, res_pl1 = _fwd_lightpdf(lightp, p3, ld1)
+        b1, pdf_v1, res_bv1 = _fwd_bv(cs, ld1)
+        pdf_c1, raw_pc1 = _fwd_cospdf(nh3, ld1)
+        w1, res_w1 = _fwd_ph3(pdf_l1, pdf_c1, pdf_v1, s_per_f)
+        inv_pdf1 = 1.0 / pdf_l1
+        le = (lightp[L_E], lightp[L_E + 1], lightp[L_E + 2])
+        gate1 = surf & reach1
+        # reverse: out_c = where(gate1, (b1_c·le_c·inv_pdf1)·w1, 0)
+        zero = gs[0] * 0.0
+        d_w = zero
+        d_invp = zero
+        d_b1 = []
+        for c in range(3):
+            g = jnp.where(gate1, gs[c], 0.0)
+            cpre = b1[c] * le[c] * inv_pdf1
+            d_w += cpre * g
+            d_cpre = w1 * g
+            d_b1.append(le[c] * inv_pdf1 * d_cpre)
+            d_lightp[L_E + c] += b1[c] * inv_pdf1 * d_cpre
+            d_invp += b1[c] * le[c] * d_cpre
+        d_pdf_l1 = -(inv_pdf1 * inv_pdf1) * d_invp
+        d_pl, d_pc, d_pv = _rev_ph3(res_w1, d_w)
+        d_pdf_l1 += d_pl
+        d_n_pc, d_d_pc = _rev_cospdf(nh3, ld1, raw_pc1, d_pc)
+        bv = _rev_bv(res_bv1, tuple(d_b1), d_pv)
+        apply_bv(bv)
+        d_q_pl, d_dir_pl = _rev_lightpdf(res_pl1, d_pdf_l1, d_lightp)
+        d_ld = [bv["d_l"][c] + d_d_pc[c] + d_dir_pl[c] for c in range(3)]
+        d_off1 = _rev_lsample(res_ls1, d_ld, d_lightp)
+        for c in range(3):
+            d_cs[CS_P + c] += d_q_pl[c]
+            d_cs[CS_NH + c] += d_n_pc[c]
+            d_cs[CS_OFF + c] += d_off1[c]
+
+    # ---- Strategy 2: cosine-weighted bounce -----------------------------
+    if m2:
+        # Host-precomputed direction scalars (see _sample_tables): the
+        # kernel-scalar cos/sin/sqrt chains were a measured dominant cost.
+        w0 = tabsc[TAB_W0C]
+        w1 = tabsc[TAB_W1C]
+        cth = tabsc[TAB_CTH]
+        raw = tuple(t3[c] * w0 + b3[c] * w1 + nh3[c] * cth
+                    for c in range(3))
+        cd3, res_cd = _fwd_norm3(raw[0], raw[1], raw[2], 1e-12)
+        pdf_c, raw_pc = _fwd_cospdf(nh3, cd3)
+        pdf_l, res_pl = _fwd_lightpdf(lightp, p3, cd3)
+        b2, pdf_v, res_bv = _fwd_bv(cs, cd3)
+        w_c, res_w = _fwd_ph3(pdf_c, pdf_l, pdf_v, s_per_f)
+        _, res_bo = _fwd_bounce(cs, lightp, at_c, hit_c, reach2, cd3,
+                                pdf_c, w_c, tabsc[TAB_CSU0],
+                                tabsc[TAB_CSU1], surf, s_per_f,
+                                num_spheres, b2)
+        bo = _rev_bounce(res_bo, gs, d_lightp, d_at_c, num_spheres)
+        d_cd = list(bo["d_sd"])
+        d_p1, d_p2, d_p3v = _rev_ph3(res_w, bo["d_w"])
+        d_pdf_c = bo["d_pdf_self"] + d_p1
+        bv = _rev_bv(res_bv, bo["d_b2"], d_p3v)
+        apply_bv(bv)
+        d_q_pl, d_dir_pl = _rev_lightpdf(res_pl, d_p2, d_lightp)
+        d_n_pc, d_d_pc = _rev_cospdf(nh3, cd3, raw_pc, d_pdf_c)
+        for c in range(3):
+            d_cd[c] += bv["d_l"][c] + d_dir_pl[c] + d_d_pc[c]
+        d_raw = _rev_norm3(res_cd, d_cd[0], d_cd[1], d_cd[2])
+        for c in range(3):
+            d_cs[CS_OFF + c] += bo["d_off"][c]
+            d_cs[CS_NH + c] += d_n_pc[c] + cth * d_raw[c]
+            d_cs[CS_P + c] += d_q_pl[c]
+            d_cs[CS_T + c] += w0 * d_raw[c]
+            d_cs[CS_B + c] += w1 * d_raw[c]
+
+    # ---- Strategy 3: VNDF-GGX bounce ------------------------------------
+    if m3:
+        k0 = tabsc[TAB_K0V]
+        k1 = tabsc[TAB_K1V]
+        vct = tabsc[TAB_VCT]
+        hraw = tuple(t1v3[c] * k0 + t2v3[c] * k1 + ve3[c] * vct
+                     for c in range(3))
+        h3, res_h = _fwd_norm3(hraw[0], hraw[1], hraw[2], 1e-12)
+        mz = jnp.maximum(0.0, h3[2])
+        nl3, res_nl = _fwd_norm3(alpha * h3[0], alpha * h3[1], mz, 1e-12)
+        whraw = tuple(t3[c] * nl3[0] + b3[c] * nl3[1] + nh3[c] * nl3[2]
+                      for c in range(3))
+        wh3, res_wh = _fwd_norm3(whraw[0], whraw[1], whraw[2], 1e-12)
+        ddh = d3[0] * wh3[0] + d3[1] * wh3[1] + d3[2] * wh3[2]
+        vd3 = tuple(d3[c] - 2.0 * ddh * wh3[c] for c in range(3))
+        b2v, pdf_v2, res_bv3 = _fwd_bv(cs, vd3)
+        pdf_l2, res_pl3 = _fwd_lightpdf(lightp, p3, vd3)
+        pdf_c2, raw_pc3 = _fwd_cospdf(nh3, vd3)
+        w_v, res_w3 = _fwd_ph3(pdf_v2, pdf_l2, pdf_c2, s_per_f)
+        _, res_bo3 = _fwd_bounce(cs, lightp, at_v, hit_v, reach3, vd3,
+                                 pdf_v2, w_v, tabsc[TAB_VSU0],
+                                 tabsc[TAB_VSU1], surf, s_per_f,
+                                 num_spheres, b2v)
+        bo = _rev_bounce(res_bo3, gs, d_lightp, d_at_v, num_spheres)
+        d_vd = list(bo["d_sd"])
+        d_p1, d_p2, d_p3v = _rev_ph3(res_w3, bo["d_w"])
+        d_pdf_v2 = bo["d_pdf_self"] + d_p1
+        d_n_pc, d_d_pc = _rev_cospdf(nh3, vd3, raw_pc3, d_p3v)
+        d_q_pl, d_dir_pl = _rev_lightpdf(res_pl3, d_p2, d_lightp)
+        bv = _rev_bv(res_bv3, bo["d_b2"], d_pdf_v2)
+        apply_bv(bv)
+        for c in range(3):
+            d_vd[c] += d_d_pc[c] + d_dir_pl[c] + bv["d_l"][c]
+        # vd = d - 2*ddh*wh ; ddh = d·wh
+        d_ddh = -2.0 * (wh3[0] * d_vd[0] + wh3[1] * d_vd[1]
+                        + wh3[2] * d_vd[2])
+        d_wh = [-2.0 * ddh * d_vd[c] for c in range(3)]
+        d_d_loc = [d_vd[c] for c in range(3)]
+        for c in range(3):
+            d_d_loc[c] += wh3[c] * d_ddh
+            d_wh[c] += d3[c] * d_ddh
+        d_whraw = _rev_norm3(res_wh, d_wh[0], d_wh[1], d_wh[2])
+        d_nlx = (t3[0] * d_whraw[0] + t3[1] * d_whraw[1]
+                 + t3[2] * d_whraw[2])
+        d_nly = (b3[0] * d_whraw[0] + b3[1] * d_whraw[1]
+                 + b3[2] * d_whraw[2])
+        d_nlz = (nh3[0] * d_whraw[0] + nh3[1] * d_whraw[1]
+                 + nh3[2] * d_whraw[2])
+        d_nraw = _rev_norm3(res_nl, d_nlx, d_nly, d_nlz)
+        d_cs[CS_ALPHA] += h3[0] * d_nraw[0] + h3[1] * d_nraw[1]
+        d_h = (alpha * d_nraw[0], alpha * d_nraw[1],
+               jnp.where(h3[2] >= 0.0, d_nraw[2], 0.0))
+        d_hraw = _rev_norm3(res_h, d_h[0], d_h[1], d_h[2])
+        for c in range(3):
+            d_cs[CS_T1 + c] += k0 * d_hraw[c]
+            d_cs[CS_T2 + c] += k1 * d_hraw[c]
+            d_cs[CS_VE + c] += vct * d_hraw[c]
+            d_cs[CS_T + c] += nl3[0] * d_whraw[c]
+            d_cs[CS_B + c] += nl3[1] * d_whraw[c]
+            d_cs[CS_OFF + c] += bo["d_off"][c]
+            d_cs[CS_D + c] += d_d_loc[c]
+            d_cs[CS_NH + c] += d_n_pc[c] + nl3[2] * d_whraw[c]
+            d_cs[CS_P + c] += d_q_pl[c]
+
 
 def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
                     num_spheres: int,
@@ -84,12 +1079,14 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
                     tab_ref, cam_ref, light_ref, stab_ref,
                     dtab_ref, dscal_ref):
     """One (ray tile, camera ray) grid step: replay every sample from the
-    records and accumulate parameter cotangents via in-kernel jax.vjp.
-
-    The vjp is split per strategy (three vjp calls per sample) so the
-    residual stack Mosaic must keep live during each reverse sweep is one
-    strategy's intermediates, not the whole sample's — the single-vjp
-    version overflowed the 16 MB VMEM scoped allocation."""
+    records and accumulate parameter cotangents via the HAND-WRITTEN
+    reverse sweep (_sample_fwd_rev). The sample-invariant camera stage —
+    camera ray, camera hit, ortho basis, VNDF view frame, offset origin —
+    runs (and is linearized via one jax.vjp) ONCE per (tile, camera ray);
+    the per-sample sweep consumes its outputs as independent planes and
+    its vjp is applied once to the accumulated cotangents at the end
+    (vjps are linear in the cotangent, so this is exactly the same
+    gradient at 1/s_per the camera-stage work)."""
     W = config.width
     H = config.height
     P = n_prims
@@ -112,11 +1109,11 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
 
     cam12 = [cam_ref[0, k] for k in range(NCAM)]
     light17 = [light_ref[0, k] for k in range(NLIGHT)]
-    # Broadcast the scalar parameters to planes BEFORE the vjp so their
-    # cotangents come back as planes (partial sums deferred to one final
-    # reduction per tile instead of 29 scalar reductions per sample).
+    # Broadcast the scalar parameters to planes so their cotangents come
+    # back as planes (partial sums deferred to one final reduction per
+    # tile instead of 29 scalar reductions per sample).
     camp0 = tuple(zero + c for c in cam12)
-    lightp0 = tuple(zero + c for c in light17)
+    lightp = tuple(zero + c for c in light17)
 
     # Exact ONE-PASS fetch via the bf16 chunk-split (see pallas_shade.py:
     # t0 = bf16(t), t1 = bf16(t - t0), t2 = the exact remainder — stacked
@@ -146,10 +1143,7 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
         """Cotangent accumulation with the THREE-chunk bf16 split: every
         f32 splits exactly into 3 bf16 chunks, the one-hot is 0/1, and the
         MXU accumulates in f32 — HIGHEST-equivalent accuracy at half its
-        passes. (The round-3 two-chunk variant truncated the residual to
-        <=2^-18 rel per partial; the round-4 TPU-hardware parity tier
-        measured that near-cancelling partials amplify exactly that
-        truncation — see pallas_shade.py's matching note.)"""
+        passes (see pallas_shade.py's matching note)."""
         d = d_at.reshape(ndif, TILE)
         p0 = d.astype(jnp.bfloat16).astype(_F32)
         pr = d - p0
@@ -194,10 +1188,6 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
                 jnp.where(sel, nvy * inv, nh3[1]),
                 jnp.where(sel, nvz * inv, nh3[2]))
 
-    m1, m2, m3 = (_F32(1.0) if on else _F32(0.0)
-                  for on in DEBUG_STRATEGY_MASK)
-    inv_s = _F32(1.0 / s_per)
-
     # hashRandom jitter (non-differentiable; mirrors the trace kernel).
     xi = pxi.astype(_U32)
     yi = pyi.astype(_U32)
@@ -214,13 +1204,13 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
     cam_hit_light = cam_hit & isem_cam
     surf = cam_hit & ~isem_cam
 
-    # ---- Differentiable replay pieces (mirror _mis_kernel's math with the
-    # discrete decisions closed over; all take their diff inputs as args).
-
-    def cam_stage(at_cam_, camp_):
-        """Camera ray + camera-hit surface from the recorded winner's plane
-        equation (same expression as the closest-hit loop => bit-equal t)."""
-        pos, uhw, vhh, wv = (camp_[0:3], camp_[3:6], camp_[6:9], camp_[9:12])
+    def hoist_stage(at_cam_, camp_):
+        """All sample-invariant continuous math: camera ray + camera-hit
+        surface from the recorded winner's plane equation (same expression
+        as the closest-hit loop => bit-equal t), the ortho basis, and the
+        VNDF view frame. Linearized once per (tile, camera ray)."""
+        pos, uhw, vhh, wv = (camp_[0:3], camp_[3:6], camp_[6:9],
+                             camp_[9:12])
         s = ((px + jx) / _F32(W)) * 2.0 - 1.0
         t = -(((py + jy) / _F32(H)) * 2.0 - 1.0)
         dx = s * uhw[0] + t * vhh[0] - wv[0]
@@ -241,146 +1231,10 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
         p_z = oz + dz * t_safe
         nhx, nhy, nhz = sphere_normal(at_cam_, p_x, p_y, p_z, surf,
                                       (nhx, nhy, nhz))
-        return (dx, dy, dz, p_x, p_y, p_z,
-                nhx, nhy, nhz,
-                at_cam_[4], at_cam_[5], at_cam_[6],   # diffuse
-                at_cam_[7], at_cam_[8])               # metallic, roughness
-
-    def square_light_pdf(lightp_, q_x, q_y, q_z, sdx, sdy, sdz):
-        lcx, lcy, lcz = lightp_[0:3]
-        lnx, lny, lnz = lightp_[8:11]
-        tox = lcx - q_x
-        toy = lcy - q_y
-        toz = lcz - q_z
-        dist2 = tox * tox + toy * toy + toz * toz
-        cos_t = jnp.maximum(0.0, -(sdx * lnx + sdy * lny + sdz * lnz))
-        return dist2 / (lightp_[6] * lightp_[7] * cos_t + 1e-6)
-
-    def direct_light(lightp_, q_x, q_y, q_z, nx, ny, nz, inx, iny, inz,
-                     mr, mg, mb, mmet, mrgh, u0, u1, reach, active,
-                     use_heuristic):
-        lcx, lcy, lcz = lightp_[0:3]
-        ler, leg, leb = lightp_[3:6]
-        lw, ld = lightp_[6], lightp_[7]
-        ltx, lty, ltz = lightp_[11:14]
-        lbx, lby, lbz = lightp_[14:17]
-        oxx = q_x + nx * 1e-4
-        oyy = q_y + ny * 1e-4
-        ozz = q_z + nz * 1e-4
-        sx = lcx + ltx * ((u0 - 0.5) * lw) + lbx * ((u1 - 0.5) * ld)
-        sy = lcy + lty * ((u0 - 0.5) * lw) + lby * ((u1 - 0.5) * ld)
-        sz = lcz + ltz * ((u0 - 0.5) * lw) + lbz * ((u1 - 0.5) * ld)
-        tox, toy, toz = sx - oxx, sy - oyy, sz - ozz
-        dist = jnp.sqrt(jnp.maximum(
-            tox * tox + toy * toy + toz * toz, 1e-30))
-        ldx, ldy, ldz = tox / dist, toy / dist, toz / dist
-        pdf_l = square_light_pdf(lightp_, q_x, q_y, q_z, ldx, ldy, ldz)
-        hit_light = active & reach
-        vx, vy, vz = -inx, -iny, -inz
-        br, bg, bb = _brdf(vx, vy, vz, nx, ny, nz, mr, mg, mb,
-                           mmet, mrgh, ldx, ldy, ldz)
-        inv_pdf = 1.0 / pdf_l
-        cr = br * ler * inv_pdf
-        cg = bg * leg * inv_pdf
-        cb = bb * leb * inv_pdf
-        if use_heuristic:
-            pdf_c = _cosine_pdf(nx, ny, nz, ldx, ldy, ldz)
-            pdf_v = _vndf_pdf(vx, vy, vz, nx, ny, nz, ldx, ldy, ldz, mrgh)
-            w = _power_heuristic_3(pdf_l, pdf_c, pdf_v, _F32(s_per))
-            cr, cg, cb = cr * w, cg * w, cb * w
-        z = cr * 0.0
-        return (jnp.where(hit_light, cr, z),
-                jnp.where(hit_light, cg, z),
-                jnp.where(hit_light, cb, z))
-
-    def bounce_strategy(lightp_, cs, at2, hit2, sec_reach, sdx, sdy, sdz,
-                        pdf_self, w, su0, su1):
-        (dx, dy, dz, p_x, p_y, p_z, nhx, nhy, nhz,
-         dfr, dfg, dfb, met, rgh) = cs
-        ler, leg, leb = lightp_[3:6]
-        oxx = p_x + nhx * 1e-4
-        oyy = p_y + nhy * 1e-4
-        ozz = p_z + nhz * 1e-4
-        n2x, n2y, n2z = at2[0], at2[1], at2[2]
-        c02 = at2[3]
-        den2 = sdx * n2x + sdy * n2y + sdz * n2z
-        ok2 = jnp.abs(den2) >= 1e-12
-        t2 = (c02 - (oxx * n2x + oyy * n2y + ozz * n2z)) \
-            / jnp.where(ok2, den2, 1.0)
-        t2 = sphere_t(at2, oxx, oyy, ozz, sdx, sdy, sdz, t2)
-
-        vx, vy, vz = -dx, -dy, -dz
-        br, bg, bb = _brdf(vx, vy, vz, nhx, nhy, nhz,
-                           dfr, dfg, dfb, met, rgh, sdx, sdy, sdz)
-        # Double-where reciprocal (mirrors the trace kernel / oracle —
-        # pdf == 0 on roughness-0 lanes must yield a 0 term, not 0 * inf).
-        pdf_ok = pdf_self > 0.0
-        inv_pdf = jnp.where(pdf_ok, 1.0 / jnp.where(pdf_ok, pdf_self, 1.0),
-                            0.0)
-
-        hit_light = surf & hit2 & (at2[9] > 0.5)
-        ltr = w * br * ler * inv_pdf
-        ltg = w * bg * leg * inv_pdf
-        ltb = w * bb * leb * inv_pdf
-
-        hit_geo = surf & hit2 & (at2[9] <= 0.5)
-        t2_safe = jnp.where(hit_geo, t2, 0.0)
-        bpx = oxx + sdx * t2_safe
-        bpy = oyy + sdy * t2_safe
-        bpz = ozz + sdz * t2_safe
-        n2x, n2y, n2z = sphere_normal(at2, bpx, bpy, bpz, hit_geo,
-                                      (n2x, n2y, n2z))
-        sr, sg, sb = direct_light(
-            lightp_, bpx, bpy, bpz, n2x, n2y, n2z, sdx, sdy, sdz,
-            at2[4], at2[5], at2[6], at2[7], at2[8], su0, su1,
-            sec_reach, hit_geo, False)
-        gr = br * inv_pdf * sr
-        gg = bg * inv_pdf * sg
-        gb = bb * inv_pdf * sb
-        z = ltr * 0.0
-        return (jnp.where(hit_light, ltr, z) + jnp.where(hit_geo, gr, z),
-                jnp.where(hit_light, ltg, z) + jnp.where(hit_geo, gg, z),
-                jnp.where(hit_light, ltb, z) + jnp.where(hit_geo, gb, z))
-
-    def gated(rgb, m):
-        return tuple(jnp.where(surf, c * (m * inv_s), 0.0) for c in rgb)
-
-    def strategy1(tabsc, reach1, cs, lightp_):
-        (dx, dy, dz, p_x, p_y, p_z, nhx, nhy, nhz,
-         dfr, dfg, dfb, met, rgh) = cs
-        rgb = direct_light(
-            lightp_, p_x, p_y, p_z, nhx, nhy, nhz, dx, dy, dz,
-            dfr, dfg, dfb, met, rgh, tabsc[TAB_LU0], tabsc[TAB_LU1],
-            reach1, surf, True)
-        return gated(rgb, m1)
-
-    def strategy2(tabsc, reach2, hit_c, cs, at_c_, lightp_):
-        (dx, dy, dz, p_x, p_y, p_z, nhx, nhy, nhz,
-         dfr, dfg, dfb, met, rgh) = cs
-        vx, vy, vz = -dx, -dy, -dz
+        met = at_cam_[7]
+        rgh = at_cam_[8]
         tx, ty, tz, bx, by, bz = _ortho_basis(nhx, nhy, nhz)
-        phi = _F32(2.0 * PI) * tabsc[TAB_CU0]
-        cth = jnp.sqrt(jnp.full((), 0.0, _F32) + tabsc[TAB_CU1])
-        sth = jnp.sqrt(jnp.maximum(1.0 - tabsc[TAB_CU1], 0.0))
-        cp, sp = jnp.cos(phi), jnp.sin(phi)
-        cdx, cdy, cdz = _normalize3(
-            tx * (cp * sth) + bx * (sp * sth) + nhx * cth,
-            ty * (cp * sth) + by * (sp * sth) + nhy * cth,
-            tz * (cp * sth) + bz * (sp * sth) + nhz * cth)
-        pdf_c = _cosine_pdf(nhx, nhy, nhz, cdx, cdy, cdz)
-        pdf_l = square_light_pdf(lightp_, p_x, p_y, p_z, cdx, cdy, cdz)
-        pdf_v = _vndf_pdf(vx, vy, vz, nhx, nhy, nhz, cdx, cdy, cdz, rgh)
-        w_c = _power_heuristic_3(pdf_c, pdf_l, pdf_v, _F32(s_per))
-        rgb = bounce_strategy(lightp_, cs, at_c_, hit_c, reach2,
-                              cdx, cdy, cdz, pdf_c, w_c,
-                              tabsc[TAB_CSU0], tabsc[TAB_CSU1])
-        return gated(rgb, m2)
-
-    def strategy3(tabsc, reach3, hit_v, cs, at_v_, lightp_):
-        (dx, dy, dz, p_x, p_y, p_z, nhx, nhy, nhz,
-         dfr, dfg, dfb, met, rgh) = cs
         vx, vy, vz = -dx, -dy, -dz
-        tx, ty, tz, bx, by, bz = _ortho_basis(nhx, nhy, nhz)
         alpha = rgh * rgh
         vtx = _dot3(vx, vy, vz, tx, ty, tz)
         vtb = _dot3(vx, vy, vz, bx, by, bz)
@@ -388,84 +1242,81 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
         vex, vey, vez = _normalize3(alpha * vtx, alpha * vtb, vtn)
         t1x, t1y, t1z = _normalize3(vez, vez * 0.0, -vex)
         t2x, t2y, t2z = _cross3(vex, vey, vez, t1x, t1y, t1z)
-        vphi = _F32(2.0 * PI) * tabsc[TAB_VU0]
-        ctm = _F32(1.0 / math.sqrt(2.0))
-        vct = ctm + (1.0 - ctm) * tabsc[TAB_VU1]
-        vst = jnp.sqrt(jnp.maximum(0.0, 1.0 - vct * vct))
-        vcp, vsp = jnp.cos(vphi), jnp.sin(vphi)
-        hx_, hy_, hz_ = _normalize3(
-            t1x * (vcp * vst) + t2x * (vsp * vst) + vex * vct,
-            t1y * (vcp * vst) + t2y * (vsp * vst) + vey * vct,
-            t1z * (vcp * vst) + t2z * (vsp * vst) + vez * vct)
-        nhx_, nhy_, nhz_ = _normalize3(
-            alpha * hx_, alpha * hy_, jnp.maximum(0.0, hz_))
-        whx = tx * nhx_ + bx * nhy_ + nhx * nhz_
-        why = ty * nhx_ + by * nhy_ + nhy * nhz_
-        whz = tz * nhx_ + bz * nhy_ + nhz * nhz_
-        whx, why, whz = _normalize3(whx, why, whz)
-        ddh = _dot3(dx, dy, dz, whx, why, whz)
-        vdx = dx - 2.0 * ddh * whx
-        vdy = dy - 2.0 * ddh * why
-        vdz = dz - 2.0 * ddh * whz
-        pdf_v2 = _vndf_pdf(vx, vy, vz, nhx, nhy, nhz, vdx, vdy, vdz, rgh)
-        pdf_l2 = square_light_pdf(lightp_, p_x, p_y, p_z, vdx, vdy, vdz)
-        pdf_c2 = _cosine_pdf(nhx, nhy, nhz, vdx, vdy, vdz)
-        w_v = _power_heuristic_3(pdf_v2, pdf_l2, pdf_c2, _F32(s_per))
-        rgb = bounce_strategy(lightp_, cs, at_v_, hit_v, reach3,
-                              vdx, vdy, vdz, pdf_v2, w_v,
-                              tabsc[TAB_VSU0], tabsc[TAB_VSU1])
-        return gated(rgb, m3)
+        # Camera-material BRDF/VNDF invariants (consumed by _fwd_bv).
+        cndv_raw = nhx * vx + nhy * vy + nhz * vz
+        cndv = jnp.abs(cndv_raw) + 1e-5
+        comm = 1.0 - met
+        f0r = 0.04 * comm + at_cam_[4] * met
+        f0g = 0.04 * comm + at_cam_[5] * met
+        f0b = 0.04 * comm + at_cam_[6] * met
+        cargv = jnp.maximum(
+            (-cndv * alpha + cndv) * cndv + alpha, 1e-12)
+        csqv = cargv * jax.lax.rsqrt(cargv)
+        vndv = jnp.abs(cndv_raw)
+        inv_nv2 = 1.0 / jnp.maximum(vndv * vndv, 1e-12)
+        g1v = 2.0 / (1.0 + jnp.sqrt(
+            1.0 + (alpha * alpha) * (inv_nv2 - 1.0)))
+        viden = 1.0 / (4.0 * vndv + 1e-7)
+        return (dx, dy, dz, p_x, p_y, p_z, nhx, nhy, nhz,
+                at_cam_[4], at_cam_[5], at_cam_[6], met, rgh,
+                tx, ty, tz, bx, by, bz, vex, vey, vez,
+                t1x, t1y, t1z, t2x, t2y, t2z, alpha,
+                p_x + nhx * 1e-4, p_y + nhy * 1e-4, p_z + nhz * 1e-4,
+                vx, vy, vz, cndv, csqv, f0r, f0g, f0b, comm, g1v, viden)
 
-    # The camera stage is SAMPLE-INVARIANT: run its forward + linearization
-    # ONCE per (tile, camera ray), thread its outputs ``cs`` into the
-    # strategy vjps as a differentiable input, and apply its vjp once to
-    # the sample-accumulated cs-cotangents at the end (vjps are linear in
-    # the cotangent, so this is exactly the same gradient at 1/s_per the
-    # camera-stage work and far fewer live residuals per strategy sweep).
-    cs, vjp_cam_stage = jax.vjp(cam_stage, at_cam, camp0)
+    cs, vjp_hoist = jax.vjp(hoist_stage, at_cam, camp0)
+
+    inv_s = _F32(1.0 / s_per)
+    s_per_f = _F32(s_per)
+    gs = tuple(jnp.where(surf, g3[c] * inv_s, 0.0) for c in range(3))
 
     def one_sample(s_i32, carry):
-        d_cs, dtab_acc, dlightp = carry
-        tabsc = [stab_ref[k, s_i32] for k in range(NTAB)]
+        d_cs_t, dtab_acc, dlightp_t = carry
+        tabsc = [stab_ref[k, s_i32] for k in range(NTAB_EXT)]
         srec = srec_ref[pl.ds(s_i32 * RAY_SUB, RAY_SUB), :]
         reach1 = (srec & 1) == 1
         reach2 = ((srec >> 1) & 1) == 1
         reach3 = ((srec >> 2) & 1) == 1
         code_c = (srec >> 3) & 1023
         code_v = (srec >> 13) & 1023
-        hit_c, onehot_c, at_c = fetch(code_c)
-        hit_v, onehot_v, at_v = fetch(code_v)
-
-        _, vjp1 = jax.vjp(partial(strategy1, tabsc, reach1),
-                          cs, lightp0)
-        dcs1, dl1 = vjp1(g3)
-        _, vjp2 = jax.vjp(partial(strategy2, tabsc, reach2, hit_c),
-                          cs, at_c, lightp0)
-        dcs2, d_at_c, dl2 = vjp2(g3)
-        _, vjp3 = jax.vjp(partial(strategy3, tabsc, reach3, hit_v),
-                          cs, at_v, lightp0)
-        dcs3, d_at_v, dl3 = vjp3(g3)
-
-        d_cs = tuple(a + b + c + d
-                     for a, b, c, d in zip(d_cs, dcs1, dcs2, dcs3))
-        for onehot, d_at in ((onehot_c, d_at_c), (onehot_v, d_at_v)):
-            dtab_acc = accum_tab(dtab_acc, onehot, d_at)
-        dlightp = tuple(a + b + c + d
-                        for a, b, c, d in zip(dlightp, dl1, dl2, dl3))
-        return d_cs, dtab_acc, dlightp
+        # Fetch/accumulate only for the strategies that are enabled (the
+        # masks are static; the debug bisection knob then measures each
+        # strategy's true cost including its fetch site).
+        _, m2_, m3_ = DEBUG_STRATEGY_MASK
+        accum_sites = []
+        d_cs = list(d_cs_t)
+        d_lightp = list(dlightp_t)
+        hit_c = hit_v = surf
+        at_c = at_v = [zero for _ in range(ndif)]
+        d_at_c = [zero for _ in range(ndif)]
+        d_at_v = [zero for _ in range(ndif)]
+        if m2_:
+            hit_c, onehot_c, at_c3 = fetch(code_c)
+            at_c = [at_c3[k] for k in range(ndif)]
+            accum_sites.append((onehot_c, d_at_c))
+        if m3_:
+            hit_v, onehot_v, at_v3 = fetch(code_v)
+            at_v = [at_v3[k] for k in range(ndif)]
+            accum_sites.append((onehot_v, d_at_v))
+        _sample_fwd_rev(cs, lightp, tabsc, reach1, reach2, reach3,
+                        hit_c, at_c, hit_v, at_v, surf, gs, s_per_f,
+                        d_cs, d_lightp, d_at_c, d_at_v, num_spheres)
+        for onehot, d_at in accum_sites:
+            dtab_acc = accum_tab(dtab_acc, onehot, jnp.stack(d_at))
+        return tuple(d_cs), dtab_acc, tuple(d_lightp)
 
     # Camera-ray-hits-light term: acc += where(chl, emitted_radiance); its
     # only cotangent is d(emitted_radiance) — hand-accumulated.
     zlight = [zero for _ in range(NLIGHT)]
     for c in range(3):
-        zlight[3 + c] = jnp.where(cam_hit_light, g3[c], 0.0)
+        zlight[L_E + c] = jnp.where(cam_hit_light, g3[c], 0.0)
 
     dtab0 = jnp.zeros((P, ndif), _F32)
-    d_cs0 = tuple(zero for _ in range(len(cs)))
+    d_cs0 = tuple(zero for _ in range(NCS))
     d_cs, dtab_acc, dlightp = jax.lax.fori_loop(
         0, s_per, one_sample, (d_cs0, dtab0, tuple(zlight)))
 
-    d_at_cam, dcamp = vjp_cam_stage(d_cs)
+    d_at_cam, dcamp = vjp_hoist(d_cs)
     dtab_acc = accum_tab(dtab_acc, onehot_cam, d_at_cam)
 
     @pl.when((pid == 0) & (cr_i == 0))
@@ -510,7 +1361,7 @@ def _bwd_pallas(config: RenderConfig, n_prims: int, num_spheres: int,
                          memory_space=pltpu.SMEM),           # camera
             pl.BlockSpec((1, NLIGHT), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),           # light
-            pl.BlockSpec((NTAB, s_per), lambda i, j: (0, 0),
+            pl.BlockSpec((NTAB_EXT, s_per), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),           # sample tables
         ],
         out_specs=(
@@ -627,9 +1478,34 @@ def _pack_diff_inputs_mis(scene: Scene, config: RenderConfig):
 
 
 def _sample_tables(config: RenderConfig):
-    """The kernel's pixel-independent sample tables [NTAB, s_per] — the
-    same shared rows the forward kernel and oracle use."""
-    return smp.mis_sample_table_rows(config.mis_samples, config.sampler)
+    """The kernel's pixel-independent sample tables, EXTENDED with the
+    derived direction-sampling scalars [NTAB_EXT, s_per].
+
+    Rows 0-9 are the shared draws (sampling.mis_sample_table_rows — same
+    as the forward kernel and oracle). Rows 10-15 precompute the cosine /
+    VNDF direction chains' per-sample transcendentals host-side:
+    w0 = cos(2πu0)·sinθ, w1 = sin(2πu0)·sinθ, cosθ (cosine strategy) and
+    k0, k1, cosθ_v (VNDF strategy). Measured: evaluating these 8
+    cos/sin/sqrt per sample on the kernel's SCALAR core was a dominant
+    per-sample cost of the reverse sweep (strategy-mask bisection, round
+    5); the values are pure functions of the static table, so the kernel
+    reads them as SMEM scalars instead. Computed with the same f32 jnp
+    ops the oracle uses — identical values on the CPU parity tier."""
+    rows = smp.mis_sample_table_rows(config.mis_samples, config.sampler)
+    u_c0, u_c1 = rows[TAB_CU0], rows[TAB_CU1]
+    phi = _F32(2.0 * PI) * u_c0
+    cth = jnp.sqrt(u_c1)
+    sth = jnp.sqrt(jnp.maximum(1.0 - u_c1, 0.0))
+    w0 = jnp.cos(phi) * sth
+    w1 = jnp.sin(phi) * sth
+    vphi = _F32(2.0 * PI) * rows[TAB_VU0]
+    ctm = _F32(1.0 / math.sqrt(2.0))
+    vct = ctm + (1.0 - ctm) * rows[TAB_VU1]
+    vst = jnp.sqrt(jnp.maximum(0.0, 1.0 - vct * vct))
+    k0 = jnp.cos(vphi) * vst
+    k1 = jnp.sin(vphi) * vst
+    return jnp.concatenate(
+        [rows, jnp.stack([w0, w1, cth, k0, k1, vct])], axis=0)
 
 
 def render_mis_fused(scene: Scene, config: RenderConfig,
