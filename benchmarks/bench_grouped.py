@@ -71,6 +71,72 @@ def chain_pair(render_fn, scene):
     return chain
 
 
+def main_mis():
+    """Grouped variant-A MIS tier (round 5): tessellated scene through the
+    MIS trace kernel + hand-written backward at 512^2. Usage:
+    bench_grouped.py --mis [wall_subdiv] [sphere_subdiv] [mis_samples]."""
+    import dataclasses
+
+    from gpuraytracer_tpu.ops.pallas_mis import _render_mis_impl
+    from gpuraytracer_tpu.ops.pallas_mis_bwd import render_mis_fused
+
+    enable_compilation_cache()
+    args = [a for a in sys.argv[1:] if a != "--mis"]
+    wall_subdiv = int(args[0]) if len(args) > 0 else 6
+    sphere_subdiv = int(args[1]) if len(args) > 1 else 2
+    mis_samples = int(args[2]) if len(args) > 2 else 300
+    cfg = RenderConfig(width=512, height=512, integrator="mis",
+                       camera_rays=6, mis_samples=mis_samples)
+    scene = jax.device_put(cornell_box_tessellated(
+        resolution=(512, 512), wall_subdiv=wall_subdiv,
+        sphere_subdiv=sphere_subdiv))
+    n_tris = scene.triangles.num_triangles
+    occ = potential_occluders(scene, cfg)
+    print(f"tris={n_tris} shadow={sum(occ)} samples={mis_samples}",
+          flush=True)
+    l0 = jnp.float32(0.0)
+    trav = 512 * 512 * 6 * (1 + (mis_samples // 3) * 5)
+
+    def el(s, l):
+        return dataclasses.replace(s, light=dataclasses.replace(
+            s.light, emitted_radiance=s.light.emitted_radiance
+            * (1.0 + l * 1e-12)))
+
+    @jax.jit
+    def fwd(s, l0):
+        def body(l, _):
+            return jnp.mean(_render_mis_impl(el(s, l), cfg,
+                                             occluders=occ)), None
+        l, _ = jax.lax.scan(body, l0, None, length=ITERS)
+        return l
+
+    @jax.jit
+    def pair(s, l0):
+        def body(l, _):
+            loss, g = jax.value_and_grad(
+                lambda ss: jnp.mean(render_mis_fused(ss, cfg,
+                                                     occluders=occ)),
+                allow_int=True)(el(s, l))
+            gsum = sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g)
+                       if hasattr(x, "dtype") and x.dtype == jnp.float32)
+            return loss + 0.0 * gsum, None
+        l, _ = jax.lax.scan(body, l0, None, length=ITERS)
+        return l
+
+    for name, f in (("fwd", fwd), ("fwd+bwd", pair)):
+        t0 = time.perf_counter()
+        float(f(scene, l0))
+        compile_s = time.perf_counter() - t0
+        ts = [0.0] * 3
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(f(scene, l0))
+            ts[i] = time.perf_counter() - t0
+        dt = min(ts) / ITERS
+        print(f"mis {name}: compile {compile_s:.1f}s, {dt*1e3:.1f} ms = "
+              f"{trav/dt/1e6:.0f} Mrays/s", flush=True)
+
+
 def main():
     enable_compilation_cache()
     wall_subdiv = int(sys.argv[1]) if len(sys.argv) > 1 else 6
@@ -126,4 +192,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main_mis() if "--mis" in sys.argv else main()

@@ -47,8 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=1,
                    help="shard the render over the first N jax devices "
                         "(pixels sharded, scene replicated, fused kernels; "
-                        "requires --kernel decoupled and the path/direct "
-                        "integrator). Default 1 = single-device.")
+                        "requires --kernel decoupled; any integrator). "
+                        "Default 1 = single-device.")
     return p
 
 
@@ -83,10 +83,11 @@ def main(argv=None) -> int:
 
     if args.integrator == "legacy" and args.kernel != "jnp":
         raise SystemExit("--integrator legacy supports --kernel jnp only")
-    if args.devices > 1 and not (args.kernel == "decoupled"
-                                 and args.integrator in ("path", "direct")):
-        raise SystemExit("--devices N>1 requires --kernel decoupled and "
-                         "--integrator path/direct (the fused sharded path)")
+    if args.devices > 1 and not (
+            args.kernel == "decoupled"
+            and args.integrator in ("path", "direct", "mis")):
+        raise SystemExit("--devices N>1 requires --kernel decoupled "
+                         "(path/direct/mis — the fused sharded paths)")
     if args.devices > len(jax.devices()):
         raise SystemExit(f"--devices {args.devices} > available "
                          f"{len(jax.devices())} jax devices")
@@ -97,14 +98,21 @@ def main(argv=None) -> int:
         # replicated, fused trace kernel per shard (parallel/fast.py). The
         # sharded image is bit-identical per pixel to the single-device one
         # (RNG is a pure function of the global pixel id).
-        from .parallel.fast import render_path_fused_sharded
         from .parallel.mesh import make_ray_mesh
         mesh = make_ray_mesh(jax.devices()[:args.devices])
-        cfg = (config.replace(bounces=1)
-               if args.integrator == "direct" else config)
-        hdr = jax.block_until_ready(
-            render_path_fused_sharded(scene, cfg, mesh))
-        out = None
+        if args.integrator == "mis":
+            from .parallel.fast import render_mis_fused_sharded
+            acc = jax.block_until_ready(
+                render_mis_fused_sharded(scene, config, mesh))
+            hdr, out = acc, tonemap_mis(acc, config.camera_rays,
+                                        scene.camera.ev100)
+        else:
+            from .parallel.fast import render_path_fused_sharded
+            cfg = (config.replace(bounces=1)
+                   if args.integrator == "direct" else config)
+            hdr = jax.block_until_ready(
+                render_path_fused_sharded(scene, cfg, mesh))
+            out = None
     elif args.kernel == "pallas":
         if args.integrator == "mis":
             from .ops import render_mis_pallas

@@ -38,6 +38,9 @@ from .. import sampling as smp
 from ..intersect import compile_scene
 from ..render import render_mis
 from ..types import RenderConfig, Scene
+from .pallas_path import (GROUP, PBLK, STATIC_UNROLL_MAX, SUPER,
+                          T_FAR_SLACK, _safe_inv, _slab_interval,
+                          group_aabbs, pack_shadow_tables, pad_geo)
 
 _F32 = jnp.float32
 _U32 = jnp.uint32
@@ -79,6 +82,16 @@ NATTR = 12
 # Sphere-constant rows ([SROWS, S] SMEM): center xyz, radius (geometry only;
 # shading attrs ride the one-hot table).
 SROWS = 4
+
+# Per-sample record bit layout (int32, built with exact integer ops):
+# reach1 | reach2<<1 | reach3<<2 | (cos_prim+1)<<REC_SHIFT_C
+# | (vndf_prim+1)<<REC_SHIFT_V. 14-bit codes — up to 16382 primitives
+# (round 5 widened this from 10 bits for the grouped-traversal tier; the
+# float-arithmetic pack it replaced was exact only below 2^24).
+REC_SHIFT_C = 3
+REC_SHIFT_V = 17
+REC_CODE_MASK = (1 << 14) - 1
+REC_MAX_PRIMS = REC_CODE_MASK - 1
 
 
 def _normalize3(x, y, z):
@@ -203,9 +216,9 @@ def _power_heuristic_3(p1, p2, p3, n):
 
 def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 num_spheres: int, emit_records: bool, occluders,
-                offsets_unused, cam_ref, light_ref, tri_ref, sph_ref,
-                tab_ref, atab_ref, out_r_ref, out_g_ref, out_b_ref,
-                *rec_refs):
+                grouped: bool, share_shadow: bool,
+                offsets_unused, rid_base_ref, cam_ref, light_ref, tri_ref,
+                sph_ref, tab_ref, atab_ref, *rest):
     """One [RAY_SUB, 128] tile of pixels through the full variant-A pipeline.
     Outputs raw accumulated color (pre exposure/tonemap), like the oracle.
 
@@ -214,17 +227,43 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
       rec_refs[0]  per (camera ray, pixel):  int32 camera closest-hit code
                    = prim + 1 (0 = miss)
       rec_refs[1]  per (camera ray, sample, pixel): packed int32
-                   = reach1 | reach2<<1 | reach3<<2      (light probes)
-                   | (cos_prim + 1) << 3 | (vndf_prim + 1) << 13
+                   (see REC_SHIFT_C/REC_SHIFT_V — 14-bit prim codes)
     These replay the kernel's visibility/argmin decisions in the backward
-    kernel, which treats them (correctly) as piecewise constant."""
+    kernel, which treats them (correctly) as piecewise constant.
+
+    ``grouped`` (num_tris > pallas_path.STATIC_UNROLL_MAX) switches the
+    triangle loops to the path kernels' GROUPED dynamic traversal:
+    tri_ref becomes a zero-padded [12, P_gpad] SMEM geometry table read
+    with dynamic scalar indices under a two-level AABB cull
+    (16-tri groups / 128-tri supers, pallas_path.group_aabbs), atab_ref a
+    TRANSPOSED [P_pad128, NATTR] VMEM fetch table contracted per
+    128-primitive block, and five extra refs precede the outputs: dense
+    occluder-culled shadow geometry + the two AABB table pairs. The cull
+    is conservative (padded boxes), so decisions are bit-identical to the
+    brute loop; the per-sample origin-dot hoist is static-mode-only."""
+    if grouped:
+        if share_shadow:
+            # One geometry/AABB table set for both loops (SMEM budget —
+            # see pallas_path._render_pallas_impl's share_shadow note).
+            aabb_ref, sup_ref = rest[:2]
+            rest = rest[2:]
+            shadow_ref, sh_aabb_ref, sh_sup_ref = tri_ref, aabb_ref, sup_ref
+        else:
+            (shadow_ref, aabb_ref, sup_ref,
+             sh_aabb_ref, sh_sup_ref) = rest[:5]
+            rest = rest[5:]
+    out_r_ref, out_g_ref, out_b_ref = rest[:3]
+    rec_refs = rest[3:]
     W = config.width
     s_per = config.mis_samples // 3
 
     pid = pl.program_id(0)
     sub = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 0)
     lanei = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 1)
-    rid = pid * TILE + sub * LANES + lanei
+    # Global pixel id (rid_base = the shard's first pixel under shard_map;
+    # 0 single-chip) — jitter/camera stay pure functions of the global
+    # pixel, so sharded rendering is bit-identical per pixel.
+    rid = rid_base_ref[0, 0] + pid * TILE + sub * LANES + lanei
     pxi = rid % W
     pyi = rid // W
     px = pxi.astype(_F32)
@@ -245,21 +284,178 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     lbx, lby, lbz = lt[14:17]
 
     tris = []
-    for t in range(num_tris):
-        tris.append(tuple(tri_ref[r, t] for r in range(12)))
+    if not grouped:
+        for t in range(num_tris):
+            tris.append(tuple(tri_ref[r, t] for r in range(12)))
     sphs = []
     for s_i in range(num_spheres):
         sphs.append(tuple(sph_ref[r, s_i] for r in range(SROWS)))
 
     n_prims = num_tris + num_spheres
-    p_iota = jax.lax.broadcasted_iota(_I32, (n_prims, TILE), 0)
-    # Exact one-pass attribute fetch via the bf16 chunk-split (see
-    # pallas_path/pallas_shade) — 1/6 the passes of the HIGHEST fetch.
-    atabv = atab_ref[...]
-    a0 = atabv.astype(jnp.bfloat16).astype(_F32)
-    ar = atabv - a0
-    a1 = ar.astype(jnp.bfloat16).astype(_F32)
-    atab9 = jnp.concatenate([a0, a1, ar - a1], axis=0)  # [3*NATTR, P]
+    if not grouped:
+        p_iota = jax.lax.broadcasted_iota(_I32, (n_prims, TILE), 0)
+        # Exact one-pass attribute fetch via the bf16 chunk-split (see
+        # pallas_path/pallas_shade) — 1/6 the passes of the HIGHEST fetch.
+        atabv = atab_ref[...]
+        a0 = atabv.astype(jnp.bfloat16).astype(_F32)
+        ar = atabv - a0
+        a1 = ar.astype(jnp.bfloat16).astype(_F32)
+        atab9 = jnp.concatenate([a0, a1, ar - a1], axis=0)  # [3*NATTR, P]
+    else:
+        pb_iota = jax.lax.broadcasted_iota(_I32, (PBLK, TILE), 0)
+
+    def _tri_closest_step(row, prim_idx_f, ox, oy, oz, dx, dy, dz,
+                          t_best, prim_f):
+        """One triangle's closest-hit test (grouped mode — the static
+        unroll keeps its origin-dot-hoisted form below). Identical accept
+        logic to the static loop."""
+        (nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2) = row
+        den = dx * nx + dy * ny + dz * nz
+        num = c0 - (ox * nx + oy * ny + oz * nz)
+        ok = jnp.abs(den) >= 1e-12
+        tt = num / den
+        u = (ox * s1x + oy * s1y + oz * s1z) \
+            + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
+        v = (ox * s2x + oy * s2y + oz * s2z) \
+            + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
+        closer = (ok & (tt > RAY_TMIN) & (tt < RAY_TMAX)
+                  & (jnp.minimum(u, v) >= 0.0) & (u + v <= 1.0)
+                  & (tt < t_best))
+        t_best = jnp.where(closer, tt, t_best)
+        prim_f = jnp.where(closer, prim_idx_f, prim_f)
+        return t_best, prim_f
+
+    def closest_tris_grouped(ox, oy, oz, dx, dy, dz, t_best, prim_f):
+        """Two-level AABB-culled closest-hit sweep over the grouped
+        triangle tables (pallas_path._path_kernel.closest mirror)."""
+        ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+        n_super = sup_ref.shape[1]
+
+        def tri_group(g, carry):
+            t_b, p_f = carry
+            aabb6 = [aabb_ref[r, g] for r in range(6)]
+            tmin, tmax = _slab_interval(aabb6, ox, oy, oz, ivx, ivy, ivz)
+            t_far = jnp.minimum(t_b * (1.0 + T_FAR_SLACK) + T_FAR_SLACK,
+                                RAY_TMAX)
+            reach = tmin <= jnp.minimum(tmax, t_far)
+            any_hit = jnp.max(jnp.where(reach, 1.0, 0.0)) > 0.5
+
+            def run(carry):
+                t_b, p_f = carry
+                base = g * GROUP
+                for k in range(GROUP):
+                    idx = base + k
+                    row = tuple(tri_ref[r, idx] for r in range(12))
+                    t_b, p_f = _tri_closest_step(
+                        row, idx.astype(_F32), ox, oy, oz, dx, dy, dz,
+                        t_b, p_f)
+                return t_b, p_f
+
+            return jax.lax.cond(any_hit, run, lambda c: c, (t_b, p_f))
+
+        def super_body(sg, carry):
+            t_b, p_f = carry
+            s6 = [sup_ref[r, sg] for r in range(6)]
+            tmin, tmax = _slab_interval(s6, ox, oy, oz, ivx, ivy, ivz)
+            t_far = jnp.minimum(t_b * (1.0 + T_FAR_SLACK) + T_FAR_SLACK,
+                                RAY_TMAX)
+            reach = tmin <= jnp.minimum(tmax, t_far)
+            any_hit = jnp.max(jnp.where(reach, 1.0, 0.0)) > 0.5
+
+            def run(carry):
+                for k in range(SUPER):
+                    carry = tri_group(sg * SUPER + k, carry)
+                return carry
+
+            return jax.lax.cond(any_hit, run, lambda c: c, (t_b, p_f))
+
+        return jax.lax.fori_loop(0, n_super, super_body, (t_best, prim_f))
+
+    def fetch_grouped(pc, hit):
+        """BLOCK-RANGE one-hot fetch against the transposed atab
+        (pallas_path.fetch_attrs grouped-branch mirror): only the
+        128-primitive blocks spanned by the tile's winning indices are
+        contracted; miss lanes fetch zeros (every consumer gates by
+        ``hit``-derived masks)."""
+        pcf = pc.reshape(1, TILE)
+        pmin = jnp.min(jnp.where(hit, pc, n_prims - 1))
+        pmax = jnp.max(jnp.where(hit, pc, 0))
+
+        def blk_body(bk, at_acc):
+            off = pl.multiple_of(bk * PBLK, PBLK)
+            oh = (pb_iota == (pcf - bk * PBLK)).astype(_F32)
+            blk = atab_ref[pl.ds(off, PBLK), :]       # [PBLK, NATTR]
+            b0 = blk.astype(jnp.bfloat16).astype(_F32)
+            br = blk - b0
+            b1 = br.astype(jnp.bfloat16).astype(_F32)
+            blk9 = jnp.concatenate([b0, b1, br - b1], axis=1)
+            at9 = jax.lax.dot_general(
+                blk9, oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.DEFAULT)  # [3*NATTR, TILE]
+            return at_acc + (at9[:NATTR] + at9[NATTR:2 * NATTR]
+                             + at9[2 * NATTR:])
+
+        at_acc = jax.lax.fori_loop(pmin // PBLK, pmax // PBLK + 1,
+                                   blk_body,
+                                   jnp.zeros((NATTR, TILE), _F32))
+        return at_acc.reshape(NATTR, RAY_SUB, LANES)
+
+    def occluded_grouped(ox, oy, oz, dx, dy, dz, t_max):
+        """Two-level segment/AABB-culled any-hit over the dense shadow
+        tables. MIS accept window (RAY_TMIN < t < t_max) — the variant-B
+        shadow loop's lower bound is 0. Early-out when every lane is
+        already occluded; f32 0/1 carry (Mosaic cannot legalize i1-vector
+        loop carries)."""
+        ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+        t_seg = t_max * (1.0 + T_FAR_SLACK) + T_FAR_SLACK
+        n_super = sh_sup_ref.shape[1]
+
+        def tri_group(g, occ_f):
+            aabb6 = [sh_aabb_ref[r, g] for r in range(6)]
+            tmin, tmax = _slab_interval(aabb6, ox, oy, oz, ivx, ivy, ivz)
+            reach = (tmin <= jnp.minimum(tmax, t_seg)) & (occ_f < 0.5)
+            any_hit = jnp.max(jnp.where(reach, 1.0, 0.0)) > 0.5
+
+            def run(occ_f):
+                occ_c = occ_f > 0.5
+                base = g * GROUP
+                for k in range(GROUP):
+                    idx = base + k
+                    (nx, ny, nz, c0, s1x, s1y, s1z, c1,
+                     s2x, s2y, s2z, c2) = tuple(
+                        shadow_ref[r, idx] for r in range(12))
+                    den = dx * nx + dy * ny + dz * nz
+                    num = c0 - (ox * nx + oy * ny + oz * nz)
+                    ok = jnp.abs(den) >= 1e-12
+                    tt = num / den
+                    u = (ox * s1x + oy * s1y + oz * s1z) \
+                        + tt * (dx * s1x + dy * s1y + dz * s1z) - c1
+                    v = (ox * s2x + oy * s2y + oz * s2z) \
+                        + tt * (dx * s2x + dy * s2y + dz * s2z) - c2
+                    occ_c = occ_c | (ok & (tt > RAY_TMIN) & (tt < t_max)
+                                     & (jnp.minimum(u, v) >= 0.0)
+                                     & (u + v <= 1.0))
+                return jnp.where(occ_c, 1.0, 0.0)
+
+            return jax.lax.cond(any_hit, run, lambda o: o, occ_f)
+
+        def super_body(sg, occ_f):
+            s6 = [sh_sup_ref[r, sg] for r in range(6)]
+            tmin, tmax = _slab_interval(s6, ox, oy, oz, ivx, ivy, ivz)
+            reach = (tmin <= jnp.minimum(tmax, t_seg)) & (occ_f < 0.5)
+            any_hit = jnp.max(jnp.where(reach, 1.0, 0.0)) > 0.5
+
+            def run(occ_f):
+                for k in range(SUPER):
+                    occ_f = tri_group(sg * SUPER + k, occ_f)
+                return occ_f
+
+            return jax.lax.cond(any_hit, run, lambda o: o, occ_f)
+
+        occ_f = jax.lax.fori_loop(0, n_super, super_body,
+                                  jnp.zeros((RAY_SUB, LANES), _F32))
+        return occ_f > 0.5
 
     def sphere_roots(sph, ox, oy, oz, dx, dy, dz):
         """Quadratic ray/sphere roots (shaders_old.metal:108-136; same op
@@ -285,6 +481,8 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         reassociation — decisions cannot move. Saves ~15 VPU ops per
         triangle (and the whole quadratic setup per sphere) per closest
         test, x (2 closest + 1 probe) x samples."""
+        if grouped:
+            return None
         pre_t = []
         for tri in tris:
             nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2 = tri
@@ -321,6 +519,9 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         exact origin (bit-identical diet for per-sample calls)."""
         t_best = jnp.full((RAY_SUB, LANES), BIG, _F32)
         prim_f = t_best * 0.0 - 1.0
+        if grouped:
+            t_best, prim_f = closest_tris_grouped(ox, oy, oz, dx, dy, dz,
+                                                  t_best, prim_f)
         for t_idx, tri in enumerate(tris):
             nx, ny, nz, c0, s1x, s1y, s1z, c1, s2x, s2y, s2z, c2 = tri
             if pre is None:
@@ -359,13 +560,16 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
             prim_f = jnp.where(closer, _F32(num_tris + s_idx), prim_f)
         hit = t_best < BIG * 0.5
         pc = jnp.clip(prim_f, 0.0, _F32(n_prims - 1)).astype(_I32)
-        onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
-        at9 = jax.lax.dot_general(
-            atab9, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=_F32,
-            precision=jax.lax.Precision.DEFAULT)  # [3*NATTR, TILE]
-        at = at9[:NATTR] + at9[NATTR:2 * NATTR] + at9[2 * NATTR:]
-        at = at.reshape(NATTR, RAY_SUB, LANES)
+        if grouped:
+            at = fetch_grouped(pc, hit)
+        else:
+            onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
+            at9 = jax.lax.dot_general(
+                atab9, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.DEFAULT)  # [3*NATTR, TILE]
+            at = at9[:NATTR] + at9[NATTR:2 * NATTR] + at9[2 * NATTR:]
+            at = at.reshape(NATTR, RAY_SUB, LANES)
         nhx, nhy, nhz = at[0], at[1], at[2]
         if num_spheres:
             # Sphere normal: (hit point - center) normalized
@@ -397,6 +601,14 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         (intersect.potential_occluders); decisions are bit-identical.
         ``pre``: precompute_origin for this exact origin (indexed by the
         ORIGINAL primitive id — the cull only selects rows)."""
+        if grouped:
+            occ = occluded_grouped(ox, oy, oz, dx, dy, dz, t_max)
+            for s_idx, sph in enumerate(sphs):
+                spos, t1, t2 = sphere_roots(sph, ox, oy, oz, dx, dy, dz)
+                t1_ok = (t1 > RAY_TMIN) & (t1 < t_max)
+                t2_ok = (t2 > RAY_TMIN) & (t2 < t_max)
+                occ = occ | (spos & (t1_ok | t2_ok))
+            return ~occ
         occ = jnp.zeros((RAY_SUB, LANES), bool)
         for t_idx in probe_indices:
             tri = tris[t_idx]
@@ -650,15 +862,16 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                 pre=pre_off)
 
             if emit_records:
-                # All terms < 2^24: exact in f32 before the int cast.
+                # Exact int32 pack (disjoint bit ranges => adds == ORs);
+                # prim indices < 2^24 are exact through the f32->i32 cast.
                 packed = (
-                    jnp.where(reach1, 1.0, 0.0)
-                    + jnp.where(reach2, 2.0, 0.0)
-                    + jnp.where(reach3, 4.0, 0.0)
-                    + 8.0 * (prim_c + 1.0)
-                    + 8192.0 * (prim_v + 1.0))
+                    jnp.where(reach1, 1, 0)
+                    + jnp.where(reach2, 2, 0)
+                    + jnp.where(reach3, 4, 0)
+                    + (prim_c + 1.0).astype(_I32) * (1 << REC_SHIFT_C)
+                    + (prim_v + 1.0).astype(_I32) * (1 << REC_SHIFT_V))
                 ss = pl.ds(s_i32 * RAY_SUB, RAY_SUB)
-                rec_refs[1][ss, :] = packed.astype(_I32)
+                rec_refs[1][ss, :] = packed
 
             m1, m2, m3 = (_F32(1.0) if on else _F32(0.0)
                           for on in DEBUG_STRATEGY_MASK)
@@ -701,8 +914,14 @@ def _mis_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         out_b_ref[...] = acc_b
 
 
-def _pack_inputs(scene: Scene, config: RenderConfig):
-    """Host-side marshalling (the reference's convert*/makeBuffer step)."""
+def _pack_inputs(scene: Scene, config: RenderConfig,
+                 grouped: bool = False, occluders=None):
+    """Host-side marshalling (the reference's convert*/makeBuffer step).
+
+    ``grouped``: marshal for grouped traversal instead — the geometry
+    table zero-padded to GROUP granularity, the fetch table TRANSPOSED
+    and PBLK-padded, plus dense occluder-culled shadow geometry and the
+    two-level AABB table pairs (pallas_path.group_aabbs)."""
     compiled = compile_scene(scene.triangles, lane_pad=1)
     tri = jnp.stack([
         compiled.n[:, 0], compiled.n[:, 1], compiled.n[:, 2], compiled.c0,
@@ -771,41 +990,64 @@ def _pack_inputs(scene: Scene, config: RenderConfig):
     else:
         sph = jnp.zeros((SROWS, 1), _F32)  # placeholder; loops are empty
         atab = tri_cols
-    return tri, cam_vec, light_vec, tabs, sph, atab
+    if not grouped:
+        return tri, cam_vec, light_vec, tabs, sph, atab
+    verts = jnp.asarray(scene.triangles.verts, _F32)
+    tri_geo = pad_geo(tri[:12])
+    aabb_main, sup_main = group_aabbs(verts)
+    shadow_geo, aabb_shadow, sup_shadow = pack_shadow_tables(
+        tri, verts, occluders, tri_geo, aabb_main, sup_main)
+    n_pad = ((atab.shape[1] + PBLK - 1) // PBLK) * PBLK
+    atab_t = jnp.pad(atab, ((0, 0), (0, n_pad - atab.shape[1]))).T
+    return (tri_geo, cam_vec, light_vec, tabs, sph, atab_t, shadow_geo,
+            aabb_main, sup_main, aabb_shadow, sup_shadow)
 
 
 def _render_mis_impl(scene: Scene, config: RenderConfig, interpret=None,
-                     emit_records: bool = False, occluders=None):
+                     emit_records: bool = False, occluders=None,
+                     local_n=None, rid_base=None, flat_output=False):
+    """``local_n``/``rid_base``/``flat_output``: shard-local rendering for
+    shard_map (parallel/fast.py) — render the ``local_n`` pixels starting
+    at global pixel ``rid_base`` and return flat [local_n, 3] hdr."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_pixels = config.num_pixels
-    n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
+    local_n = n_pixels if local_n is None else local_n
+    if rid_base is None:
+        rid_base = jnp.zeros((1, 1), jnp.int32)
+    n_padded = ((local_n + TILE - 1) // TILE) * TILE
     grid = (n_padded // TILE,)
     num_tris = scene.triangles.num_triangles
     num_spheres = scene.spheres.num_spheres
-    assert num_tris + num_spheres + 1 < 1024, "record encoding limit"
-    if num_tris > 256:
-        # The MIS kernels statically unroll the primitive loops (trace AND
-        # record-replay backward); past a few hundred triangles compile
-        # time explodes. Grouped traversal exists for the variant-B path
-        # kernels (pallas_path.STATIC_UNROLL_MAX) and is the template for
-        # extending this kernel; until then, big scenes take the jnp
-        # oracle (render.render_mis — correct at any scene size).
-        raise NotImplementedError(
-            f"MIS megakernel statically unrolls primitives ({num_tris} "
-            "tris > 256); use render.render_mis for high-triangle scenes "
-            "or the grouped variant-B path kernels")
-
-    tri, cam_vec, light_vec, tabs, sph, atab = _pack_inputs(scene, config)
-    # Kernel reads no per-pixel input; pass a dummy so in/out specs line up
-    # with pallas_path's layout conventions.
-    dummy = jnp.zeros((n_padded // LANES, LANES), _F32)
+    assert num_tris + num_spheres < REC_MAX_PRIMS, "record encoding limit"
+    # Above the static-unroll threshold the kernel switches to GROUPED
+    # dynamic traversal (same tier structure as the variant-B path
+    # kernels) — arbitrary meshes, compile size O(GROUP).
+    grouped = num_tris > STATIC_UNROLL_MAX
 
     if occluders is not None:
         assert len(occluders) == num_tris, (len(occluders), num_tris)
         occluders = tuple(bool(x) for x in occluders)
+    packed = _pack_inputs(scene, config, grouped=grouped,
+                          occluders=occluders if grouped else None)
+    if grouped:
+        (tri, cam_vec, light_vec, tabs, sph, atab, shadow_geo,
+         aabb_main, sup_main, aabb_shadow, sup_shadow) = packed
+    else:
+        tri, cam_vec, light_vec, tabs, sph, atab = packed
+    # Kernel reads no per-pixel input; pass a dummy so in/out specs line up
+    # with pallas_path's layout conventions.
+    dummy = jnp.zeros((n_padded // LANES, LANES), _F32)
+
+    # SMEM budget: share one geometry/AABB table set between the closest
+    # and shadow loops when a separate culled copy would overflow
+    # (pallas_path share_shadow note — decisions identical either way).
+    share_shadow = grouped and (
+        shadow_geo is tri
+        or 64 * (tri.shape[1] + shadow_geo.shape[1]) > 900_000)
     kernel = partial(_mis_kernel, config, n_pixels, num_tris, num_spheres,
-                     emit_records, occluders)
+                     emit_records, None if grouped else occluders, grouped,
+                     share_shadow)
     plane = jax.ShapeDtypeStruct((n_padded // LANES, LANES), _F32)
     s_per = config.mis_samples // 3
     cr_n = config.camera_rays
@@ -839,32 +1081,70 @@ def _render_mis_impl(scene: Scene, config: RenderConfig, interpret=None,
             pl.BlockSpec((RAY_SUB * s_per, LANES), rec_ix,
                          memory_space=pltpu.VMEM),
         ]
+    if grouped:
+        tri_spec = pl.BlockSpec(tri.shape, const_ix,
+                                memory_space=pltpu.SMEM)
+        atab_spec = pl.BlockSpec(atab.shape, const_ix,
+                                 memory_space=pltpu.VMEM)   # [P_pad, NATTR]
+        if share_shadow:
+            extra_specs = [
+                pl.BlockSpec(aabb_main.shape, const_ix,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(sup_main.shape, const_ix,
+                             memory_space=pltpu.SMEM),
+            ]
+            extra_inputs = (aabb_main, sup_main)
+        else:
+            extra_specs = [
+                pl.BlockSpec(shadow_geo.shape, const_ix,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(aabb_main.shape, const_ix,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(sup_main.shape, const_ix,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(aabb_shadow.shape, const_ix,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(sup_shadow.shape, const_ix,
+                             memory_space=pltpu.SMEM),
+            ]
+            extra_inputs = (shadow_geo, aabb_main, sup_main, aabb_shadow,
+                            sup_shadow)
+    else:
+        tri_spec = pl.BlockSpec((NROWS, num_tris), const_ix,
+                                memory_space=pltpu.SMEM)
+        atab_spec = pl.BlockSpec((NATTR, num_tris + num_spheres), const_ix,
+                                 memory_space=pltpu.VMEM)
+        extra_specs = []
+        extra_inputs = ()
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((RAY_SUB, LANES), tile_ix,
                          memory_space=pltpu.VMEM),            # dummy
+            pl.BlockSpec((1, 1), const_ix,
+                         memory_space=pltpu.SMEM),            # rid_base
             pl.BlockSpec((1, 12), const_ix,
                          memory_space=pltpu.SMEM),            # camera
             pl.BlockSpec((1, 17), const_ix,
                          memory_space=pltpu.SMEM),            # light
-            pl.BlockSpec((NROWS, num_tris), const_ix,
-                         memory_space=pltpu.SMEM),            # triangles
+            tri_spec,                                         # triangles
             pl.BlockSpec((SROWS, max(num_spheres, 1)), const_ix,
                          memory_space=pltpu.SMEM),            # spheres
             pl.BlockSpec((NTAB, s_per), const_ix,
                          memory_space=pltpu.SMEM),            # sample tables
-            pl.BlockSpec((NATTR, num_tris + num_spheres), const_ix,
-                         memory_space=pltpu.VMEM),            # one-hot table
+            atab_spec,                                        # one-hot table
+            *extra_specs,
         ],
         out_specs=tuple(out_spec_list),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(dummy, cam_vec, light_vec, tri, sph, tabs, atab)
+    )(dummy, jnp.asarray(rid_base, jnp.int32).reshape(1, 1), cam_vec,
+      light_vec, tri, sph, tabs, atab, *extra_inputs)
     r, g, b = outs[:3]
     hdr = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
-    hdr = hdr[:n_pixels].reshape(config.height, config.width, 3)
+    hdr = (hdr[:local_n] if flat_output
+           else hdr[:n_pixels].reshape(config.height, config.width, 3))
     if emit_records:
         # Raw tile-major planes, exactly as written — consumed relayout-free
         # by the backward kernel (ops/pallas_mis_bwd.py).

@@ -65,11 +65,13 @@ from ..intersect import compile_scene
 from ..types import RenderConfig, Scene
 from .pallas_mis import (
     DEBUG_STRATEGY_MASK, LANES, NTAB, RAY_SUB, TILE,
+    REC_CODE_MASK, REC_SHIFT_C, REC_SHIFT_V,
     TAB_CSU0, TAB_CSU1, TAB_CU0, TAB_CU1, TAB_LU0, TAB_LU1,
     TAB_VSU0, TAB_VSU1, TAB_VU0, TAB_VU1,
     _cross3, _dot3, _hash_u32, _normalize3, _ortho_basis,
     _render_mis_impl, _u32_to_f32,
 )
+from .pallas_path import PBLK, STATIC_UNROLL_MAX
 
 _F32 = jnp.float32
 _U32 = jnp.uint32
@@ -111,7 +113,7 @@ CS_CSQV = 37   # sqrt(ndv²(1-a) + a) (BRDF Smith-vis v-term)
 CS_F0 = 38     # 38-40 Fresnel F0 rgb
 CS_OMM = 41    # 1 - metallic
 CS_G1 = 42     # Smith G1(|nh·v|, rgh) (VNDF pdf)
-CS_VIDEN = 43  # 1/(4|nh·v| + 1e-7) (VNDF pdf denominator)
+CS_VNDV = 43   # |nh·v| (VNDF pdf denominator term)
 NCS = 44
 
 # Light vector layout ([1, NLIGHT] SMEM → broadcast planes): center(3),
@@ -162,8 +164,9 @@ def _fwd_dggx(ndh, rgh):
     the reverse is division-free (VPU divides cost ~5-10x a multiply;
     the whole sweep keeps this diet)."""
     f = (ndh * rgh * rgh - ndh) * ndh + 1.0
-    inv_den = 1.0 / (_F32(PI) * f * f + 1e-12)
-    out = (rgh * rgh) * inv_den
+    den = _F32(PI) * f * f + 1e-12
+    out = (rgh * rgh) / den   # division form: ULP parity with the oracle
+    inv_den = 1.0 / den
     return out, (ndh, rgh, f, inv_den, out)
 
 
@@ -178,24 +181,23 @@ def _rev_dggx(res, d_out):
 
 
 def _fwd_smith_g1(ndv, rgh):
-    """Smith G1 for GGX (sampling.smith_g1_ggx). One rsqrt yields both s
-    and 1/s; one reciprocal yields both g1 and its reverse factor."""
+    """Smith G1 for GGX — oracle-form forward (sampling.smith_g1_ggx,
+    ULP parity) with reciprocals saved so the reverse needs two divides,
+    not five."""
     a = rgh * rgh
     a2 = a * a
     nv2r = ndv * ndv
-    inv_nv2 = 1.0 / jnp.maximum(nv2r, 1e-12)
-    inner = 1.0 + a2 * (inv_nv2 - 1.0)   # == 1 + a2*(1-nv2)/nv2, inner >= 1
-    inv_s = jax.lax.rsqrt(inner)
-    s = inner * inv_s
-    inv_1ps = 1.0 / (1.0 + s)
-    g1 = 2.0 * inv_1ps
-    return g1, (ndv, rgh, a, a2, nv2r, inv_nv2, inv_s, inv_1ps, g1)
+    nv2 = jnp.maximum(nv2r, 1e-12)
+    s = jnp.sqrt(1.0 + a2 * (1.0 - nv2) / nv2)
+    g1 = 2.0 / (1.0 + s)
+    inv_nv2 = 1.0 / nv2
+    return g1, (ndv, rgh, a, a2, nv2r, inv_nv2, s, g1)
 
 
 def _rev_smith_g1(res, d_g1):
-    ndv, rgh, a, a2, nv2r, inv_nv2, inv_s, inv_1ps, g1 = res
-    d_s = -(g1 * inv_1ps) * d_g1
-    d_in = 0.5 * inv_s * d_s        # inner = s², s >= 1
+    ndv, rgh, a, a2, nv2r, inv_nv2, s, g1 = res
+    d_s = -(g1 / (1.0 + s)) * d_g1
+    d_in = d_s / (2.0 * s)          # inner = s², s >= 1
     d_a2 = (inv_nv2 - 1.0) * d_in
     d_nv2 = -(a2 * inv_nv2 * inv_nv2) * d_in
     d_ndv = jnp.where(nv2r >= 1e-12, 2.0 * ndv * d_nv2, 0.0)
@@ -222,25 +224,29 @@ def _fwd_brdf(v3, n3, df3, met, rgh, l3):
     omm = 1.0 - met
     f0 = tuple(0.04 * omm + df3[c] * met for c in range(3))
     dggx, res_d = _fwd_dggx(ndh, rgh)
-    # (1-ldh)^5 by squaring: pow lowers to a multi-cycle exp/log chain.
-    x1 = 1.0 - ldh
-    x2 = x1 * x1
-    x4 = x2 * x2
-    p5 = x4 * x1
+    # Forward expressions mirror the oracle ULP-for-ULP (pow, sqrt, plain
+    # divides — round-5 finding: reciprocal-multiply forms drift by ulps,
+    # which grazing-geometry gradients amplify to ~1e-4); the saved
+    # reciprocals keep the REVERSE division-free.
+    p5 = jnp.power(1.0 - ldh, 5.0)
+    x2 = (1.0 - ldh) * (1.0 - ldh)
+    x4 = x2 * x2                         # reverse factor for d(p5)
     fres = tuple(f0[c] + (1.0 - f0[c]) * p5 for c in range(3))
     a = rgh * rgh
     argl = (-ndl * a + ndl) * ndl + a
-    inv_sql = jax.lax.rsqrt(jnp.maximum(argl, 1e-12))
-    sql = jnp.maximum(argl, 1e-12) * inv_sql
+    sql = jnp.sqrt(jnp.maximum(argl, 1e-12))
+    inv_sql = 1.0 / sql
     ggx_l = ndv * sql
     argv = (-ndv * a + ndv) * ndv + a
-    inv_sqv = jax.lax.rsqrt(jnp.maximum(argv, 1e-12))
-    sqv = jnp.maximum(argv, 1e-12) * inv_sqv
+    sqv = jnp.sqrt(jnp.maximum(argv, 1e-12))
+    inv_sqv = 1.0 / sqv
     ggx_v = ndl * sqv
-    inv_sumg = 1.0 / (ggx_v + ggx_l + 1e-7)
-    vis = 0.5 * inv_sumg
-    inv_dens = 1.0 / (4.0 * ndv * ndl + 1e-7)
-    spec = dggx * vis * inv_dens
+    sumg = ggx_v + ggx_l + 1e-7
+    vis = 0.5 / sumg
+    inv_sumg = vis + vis                 # exact: power-of-two rescale
+    den_s = 4.0 * ndv * ndl + 1e-7
+    spec = dggx * vis / den_s
+    inv_dens = 1.0 / den_s
     fd = _F32(1.0 / PI)
     out = tuple((1.0 - fres[c]) * omm * (df3[c] * fd + spec * fres[c]) * ndl
                 for c in range(3))
@@ -344,8 +350,9 @@ def _fwd_vndf(v3, n3, l3, rgh):
     ndv = jnp.abs(ndv_raw)
     dggx, res_d = _fwd_dggx(ndh, rgh)
     g1, res_g = _fwd_smith_g1(ndv, rgh)
-    inv_den = 1.0 / (4.0 * ndv + 1e-7)
-    pdf = dggx * g1 * vdh * inv_den
+    den = 4.0 * ndv + 1e-7
+    pdf = dggx * g1 * vdh / den   # division form: oracle ULP parity
+    inv_den = 1.0 / den
     res = (v3, n3, l3, h3, res_h, ndh_raw, vdh_raw, ndv_raw,
            dggx, res_d, g1, res_g, vdh, inv_den, pdf)
     return pdf, res
@@ -404,8 +411,9 @@ def _fwd_lightpdf(lightp, q3, dir3):
     ct_raw = -(dir3[0] * lightp[L_N] + dir3[1] * lightp[L_N + 1]
                + dir3[2] * lightp[L_N + 2])
     cos_t = jnp.maximum(0.0, ct_raw)
-    inv_den = 1.0 / (lightp[L_W] * lightp[L_D] * cos_t + 1e-6)
-    pdf = dist2 * inv_den
+    den = lightp[L_W] * lightp[L_D] * cos_t + 1e-6
+    pdf = dist2 / den             # division form: oracle ULP parity
+    inv_den = 1.0 / den
     res = (q3, dir3, to, ct_raw, cos_t, inv_den, pdf,
            lightp[L_W], lightp[L_D],
            (lightp[L_N], lightp[L_N + 1], lightp[L_N + 2]))
@@ -436,8 +444,9 @@ def _fwd_ph3(p1, p2, p3, n):
     """β=1 power heuristic with per-strategy count n
     (shaders.metal:132-137)."""
     aa = n * p1
-    inv_den = 1.0 / (aa + n * p2 + n * p3 + 1e-6)
-    w = aa * inv_den
+    den = aa + n * p2 + n * p3 + 1e-6
+    w = aa / den                  # division form: oracle ULP parity
+    inv_den = 1.0 / den
     return w, (inv_den, w, n)
 
 
@@ -465,7 +474,7 @@ def _fwd_bv(cs, l3):
     f0 = (cs[CS_F0], cs[CS_F0 + 1], cs[CS_F0 + 2])
     omm = cs[CS_OMM]
     g1 = cs[CS_G1]
-    viden = cs[CS_VIDEN]
+    vndv = cs[CS_VNDV]
     h3, res_h = _fwd_norm3(v3[0] + l3[0], v3[1] + l3[1], v3[2] + l3[2],
                            1e-12)
     ndl_raw = n3[0] * l3[0] + n3[1] * l3[1] + n3[2] * l3[2]
@@ -475,19 +484,21 @@ def _fwd_bv(cs, l3):
     ldh_raw = l3[0] * h3[0] + l3[1] * h3[1] + l3[2] * h3[2]
     ldh = jnp.clip(ldh_raw, 0.0, 1.0)
     dggx_b, res_db = _fwd_dggx(ndh_b, rgh)
-    x1 = 1.0 - ldh
-    x2 = x1 * x1
+    # Forward expressions mirror the oracle ULP-for-ULP (see _fwd_brdf's
+    # note); reciprocals saved for the division-free reverse.
+    p5 = jnp.power(1.0 - ldh, 5.0)
+    x2 = (1.0 - ldh) * (1.0 - ldh)
     x4 = x2 * x2
-    p5 = x4 * x1
-    q15 = 1.0 - p5
-    fres = tuple(f0[c] * q15 + p5 for c in range(3))
+    fres = tuple(f0[c] + (1.0 - f0[c]) * p5 for c in range(3))
     argl = (-ndl * a + ndl) * ndl + a
-    inv_sql = jax.lax.rsqrt(jnp.maximum(argl, 1e-12))
-    sql = jnp.maximum(argl, 1e-12) * inv_sql
-    inv_sumg = 1.0 / (ndl * sqv + ndv * sql + 1e-7)
-    vis = 0.5 * inv_sumg
-    inv_dens = 1.0 / (4.0 * ndv * ndl + 1e-7)
-    spec = dggx_b * vis * inv_dens
+    sql = jnp.sqrt(jnp.maximum(argl, 1e-12))
+    inv_sql = 1.0 / sql
+    sumg = ndl * sqv + ndv * sql + 1e-7
+    vis = 0.5 / sumg
+    inv_sumg = vis + vis
+    den_s = 4.0 * ndv * ndl + 1e-7
+    spec = dggx_b * vis / den_s
+    inv_dens = 1.0 / den_s
     fd = _F32(1.0 / PI)
     out = tuple((1.0 - fres[c]) * omm * (df3[c] * fd + spec * fres[c]) * ndl
                 for c in range(3))
@@ -495,11 +506,13 @@ def _fwd_bv(cs, l3):
     vdh_raw = v3[0] * h3[0] + v3[1] * h3[1] + v3[2] * h3[2]
     vdh = jnp.abs(vdh_raw)
     dggx_v, res_dv = _fwd_dggx(ndh_v, rgh)
-    pdf = dggx_v * g1 * vdh * viden
-    res = (v3, n3, df3, l3, rgh, a, ndv, sqv, f0, omm, g1, viden, h3,
-           res_h, ndl_raw, ndl, ndh_raw, ldh_raw, x4, p5, q15, fres,
+    denv = 4.0 * vndv + 1e-7
+    pdf = dggx_v * g1 * vdh / denv
+    inv_denv = 1.0 / denv
+    res = (v3, n3, df3, l3, rgh, a, ndv, sqv, f0, omm, g1, inv_denv, h3,
+           res_h, ndl_raw, ndl, ndh_raw, ldh_raw, x4, p5, fres,
            dggx_b, res_db, argl, inv_sql, sql, inv_sumg, vis, inv_dens,
-           spec, vdh_raw, vdh, dggx_v, res_dv)
+           spec, vdh_raw, vdh, dggx_v, res_dv, pdf)
     return out, pdf, res
 
 
@@ -507,10 +520,10 @@ def _rev_bv(res, d_out, d_pdf):
     """Reverse of _fwd_bv. Returns a dict of cotangents: ``d_l`` plus
     one entry per consumed hoisted plane (accumulated into d_cs by the
     caller; the hoist vjp carries them back to (d, nh, material))."""
-    (v3, n3, df3, l3, rgh, a, ndv, sqv, f0, omm, g1, viden, h3,
-     res_h, ndl_raw, ndl, ndh_raw, ldh_raw, x4, p5, q15, fres,
+    (v3, n3, df3, l3, rgh, a, ndv, sqv, f0, omm, g1, inv_denv, h3,
+     res_h, ndl_raw, ndl, ndh_raw, ldh_raw, x4, p5, fres,
      dggx_b, res_db, argl, inv_sql, sql, inv_sumg, vis, inv_dens,
-     spec, vdh_raw, vdh, dggx_v, res_dv) = res
+     spec, vdh_raw, vdh, dggx_v, res_dv, pdf) = res
     fd = _F32(1.0 / PI)
     zero = d_out[0] * 0.0
     d_ndl = zero
@@ -531,7 +544,7 @@ def _rev_bv(res, d_out, d_pdf):
         d_omm += (1.0 - fres[c]) * d_kd
         d_df[c] = fd * d_inner
         d_spec += fres[c] * d_inner
-        d_f0[c] = q15 * d_fc
+        d_f0[c] = (1.0 - p5) * d_fc
         d_p5 += (1.0 - f0[c]) * d_fc
     d_ldh = -5.0 * x4 * d_p5
     # spec = dggx_b * vis * inv_dens
@@ -549,12 +562,12 @@ def _rev_bv(res, d_out, d_pdf):
     d_ndl += 2.0 * ndl * (1.0 - a) * d_argl
     d_a = (1.0 - ndl * ndl) * d_argl
     d_ndh_b, d_rgh = _rev_dggx(res_db, d_dggx_b)
-    # VNDF pdf = dggx_v * g1 * vdh * viden
+    # VNDF pdf = dggx_v * g1 * vdh / (4 vndv + 1e-7)
     gv = g1 * vdh
-    d_dggx_v = gv * viden * d_pdf
-    d_g1 = dggx_v * vdh * viden * d_pdf
-    d_vdh = dggx_v * g1 * viden * d_pdf
-    d_viden = dggx_v * gv * d_pdf
+    d_dggx_v = gv * inv_denv * d_pdf
+    d_g1 = dggx_v * vdh * inv_denv * d_pdf
+    d_vdh = dggx_v * g1 * inv_denv * d_pdf
+    d_vndv = 4.0 * (-(pdf * inv_denv) * d_pdf)
     d_ndh_v, d_rgh_v = _rev_dggx(res_dv, d_dggx_v)
     d_rgh += d_rgh_v
     # gates
@@ -575,7 +588,7 @@ def _rev_bv(res, d_out, d_pdf):
         d_l[c] += dh[c]
     return dict(d_l=d_l, d_v=d_v, d_n=d_n, d_df=d_df, d_rgh=d_rgh,
                 d_a=d_a, d_ndv=d_ndv, d_sqv=d_sqv, d_f0=d_f0,
-                d_omm=d_omm, d_g1=d_g1, d_viden=d_viden)
+                d_omm=d_omm, d_g1=d_g1, d_vndv=d_vndv)
 
 
 def _fwd_lsample(lightp, o3, u0, u1):
@@ -588,8 +601,11 @@ def _fwd_lsample(lightp, o3, u0, u1):
     to = tuple(lightp[L_C + c] + lightp[L_T + c] * sw
                + lightp[L_B + c] * sdep - o3[c] for c in range(3))
     q2 = to[0] * to[0] + to[1] * to[1] + to[2] * to[2]
-    inv_dist = jax.lax.rsqrt(jnp.maximum(q2, 1e-30))
-    ld = tuple(to[c] * inv_dist for c in range(3))
+    # Division form for ULP parity with the trace kernel (see
+    # _fwd_direct_light's note); reciprocal saved for the reverse.
+    dist = jnp.sqrt(jnp.maximum(q2, 1e-30))
+    inv_dist = 1.0 / dist
+    ld = tuple(to[c] / dist for c in range(3))
     return ld, (to, q2, inv_dist, su0, su1, lightp)
 
 
@@ -631,8 +647,14 @@ def _fwd_direct_light(lightp, q3, n3, inc3, df3, met, rgh, u0, u1, gate,
     sz = lightp[L_C + 2] + lightp[L_T + 2] * su0 + lightp[L_B + 2] * su1
     tox, toy, toz = sx - ox, sy - oy, sz - oz
     q2 = tox * tox + toy * toy + toz * toz
-    inv_dist = jax.lax.rsqrt(jnp.maximum(q2, 1e-30))
-    ld = (tox * inv_dist, toy * inv_dist, toz * inv_dist)
+    # Division form, matching the trace kernel/oracle ULP-for-ULP: the
+    # replayed direction sits under ill-conditioned geometry gradients at
+    # grazing pixels, where a 1-ulp drift (rsqrt-multiply form) measurably
+    # moves sphere/vert gradients. The saved reciprocal keeps the REVERSE
+    # division-free.
+    dist = jnp.sqrt(jnp.maximum(q2, 1e-30))
+    inv_dist = 1.0 / dist
+    ld = (tox / dist, toy / dist, toz / dist)
     pdf_l, res_pl = _fwd_lightpdf(lightp, q3, ld)
     v3 = (-inc3[0], -inc3[1], -inc3[2])
     b3, res_b = _fwd_brdf(v3, n3, df3, met, rgh, ld)
@@ -742,9 +764,10 @@ def _fwd_bounce(cs, lightp, at2, hit2, sec_reach, sd3, pdf_self, w,
     c02 = at2[3]
     den2 = sd3[0] * n2t[0] + sd3[1] * n2t[1] + sd3[2] * n2t[2]
     ok2 = jnp.abs(den2) >= 1e-12
-    inv_sden2 = 1.0 / jnp.where(ok2, den2, 1.0)
+    sden2 = jnp.where(ok2, den2, 1.0)
+    inv_sden2 = 1.0 / sden2
     num2 = c02 - (off[0] * n2t[0] + off[1] * n2t[1] + off[2] * n2t[2])
-    t2p = num2 * inv_sden2
+    t2p = num2 / sden2   # division form: ULP parity with the trace kernel
     t2 = t2p
     sph = None
     if num_spheres:
@@ -932,7 +955,7 @@ def _sample_fwd_rev(cs, lightp, tabsc, reach1, reach2, reach3,
         d_cs[CS_CSQV] += bv["d_sqv"]
         d_cs[CS_OMM] += bv["d_omm"]
         d_cs[CS_G1] += bv["d_g1"]
-        d_cs[CS_VIDEN] += bv["d_viden"]
+        d_cs[CS_VNDV] += bv["d_vndv"]
 
     # ---- Strategy 1: light sampling (heuristic-weighted) ----------------
     if m1:
@@ -1074,10 +1097,10 @@ def _sample_fwd_rev(cs, lightp, tabsc, reach1, reach2, reach3,
 
 
 def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
-                    num_spheres: int,
+                    num_spheres: int, grouped: bool,
                     g_r_ref, g_g_ref, g_b_ref, crec_ref, srec_ref,
-                    tab_ref, cam_ref, light_ref, stab_ref,
-                    dtab_ref, dscal_ref):
+                    rid_base_ref, tab_ref, cam_ref, light_ref, stab_ref,
+                    dtab_ref, dscal_ref, *scratch):
     """One (ray tile, camera ray) grid step: replay every sample from the
     records and accumulate parameter cotangents via the HAND-WRITTEN
     reverse sweep (_sample_fwd_rev). The sample-invariant camera stage —
@@ -1086,7 +1109,15 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
     the per-sample sweep consumes its outputs as independent planes and
     its vjp is applied once to the accumulated cotangents at the end
     (vjps are linear in the cotangent, so this is exactly the same
-    gradient at 1/s_per the camera-stage work)."""
+    gradient at 1/s_per the camera-stage work).
+
+    ``grouped`` (high-triangle tier): ``tab_ref`` arrives TRANSPOSED
+    ([P_pad, ndif]) and both the one-hot fetch and the cotangent
+    accumulation contract per 128-primitive block — the fetch over the
+    blocks spanned by the tile's recorded winners, the accumulation as a
+    block-range scatter into a VMEM scratch (mirroring
+    pallas_shade._shade_bwd_kernel's grouped mode)."""
+    dtab_scr = scratch[0] if grouped else None
     W = config.width
     H = config.height
     P = n_prims
@@ -1097,7 +1128,7 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
     cr_i = pl.program_id(1)  # camera-ray index
     sub = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 0)
     lanei = jax.lax.broadcasted_iota(_I32, (RAY_SUB, LANES), 1)
-    rid = pid * TILE + sub * LANES + lanei
+    rid = rid_base_ref[0, 0] + pid * TILE + sub * LANES + lanei
     pxi = rid % W
     pyi = rid // W
     px = pxi.astype(_F32)
@@ -1119,38 +1150,93 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
     # t0 = bf16(t), t1 = bf16(t - t0), t2 = the exact remainder — stacked
     # along the output dim, one DEFAULT matmul, fold reconstructs f32
     # exactly in any order) — 1/6 the MXU passes of the HIGHEST fetch.
-    tabv = tab_ref[...]  # [ndif, P]
-    t0_ = tabv.astype(jnp.bfloat16).astype(_F32)
-    r1_ = tabv - t0_
-    t1_ = r1_.astype(jnp.bfloat16).astype(_F32)
-    tab9 = jnp.concatenate([t0_, t1_, r1_ - t1_], axis=0)  # [3*ndif, P]
-    p_iota = jax.lax.broadcasted_iota(_I32, (P, TILE), 0)
+    if not grouped:
+        tabv = tab_ref[...]  # [ndif, P]
+        t0_ = tabv.astype(jnp.bfloat16).astype(_F32)
+        r1_ = tabv - t0_
+        t1_ = r1_.astype(jnp.bfloat16).astype(_F32)
+        tab9 = jnp.concatenate([t0_, t1_, r1_ - t1_], axis=0)  # [3*ndif, P]
+        p_iota = jax.lax.broadcasted_iota(_I32, (P, TILE), 0)
+    else:
+        pb_iota = jax.lax.broadcasted_iota(_I32, (PBLK, TILE), 0)
 
     def fetch(code):
-        """code (prim + 1, 0 = miss) -> (hit, onehot [P, TILE],
-        at [ndif, RAY_SUB, LANES]). Exact chunk-split one-hot MXU fetch."""
+        """code (prim + 1, 0 = miss) -> (hit, key, at [ndif, RAY_SUB,
+        LANES]). Exact chunk-split one-hot MXU fetch; ``key`` is what
+        accum_tab needs to scatter the cotangents back — the [P, TILE]
+        one-hot (static mode) or (pc, hit) for the block-range scatter
+        (grouped mode, where miss lanes fetch zeros — consumers gate)."""
         prim = code - 1
         pc = jnp.clip(prim, 0, P - 1)
+        hit = prim >= 0
+        if grouped:
+            pcf = pc.reshape(1, TILE)
+            pmin = jnp.min(jnp.where(hit, pc, P - 1))
+            pmax = jnp.max(jnp.where(hit, pc, 0))
+
+            def blk_body(bk, at_acc):
+                off = pl.multiple_of(bk * PBLK, PBLK)
+                oh = (pb_iota == (pcf - bk * PBLK)).astype(_F32)
+                blk = tab_ref[pl.ds(off, PBLK), :]       # [PBLK, ndif]
+                b0 = blk.astype(jnp.bfloat16).astype(_F32)
+                br = blk - b0
+                b1 = br.astype(jnp.bfloat16).astype(_F32)
+                blk9 = jnp.concatenate([b0, b1, br - b1], axis=1)
+                at9 = jax.lax.dot_general(
+                    blk9, oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=_F32,
+                    precision=jax.lax.Precision.DEFAULT)  # [3*ndif, TILE]
+                return at_acc + (at9[:ndif] + at9[ndif:2 * ndif]
+                                 + at9[2 * ndif:])
+
+            at_acc = jax.lax.fori_loop(pmin // PBLK, pmax // PBLK + 1,
+                                       blk_body,
+                                       jnp.zeros((ndif, TILE), _F32))
+            return hit, (pc, hit), at_acc.reshape(ndif, RAY_SUB, LANES)
         onehot = (p_iota == pc.reshape(1, TILE)).astype(_F32)
         at9 = jax.lax.dot_general(
             tab9, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=_F32,
             precision=jax.lax.Precision.DEFAULT)  # [3*ndif, TILE]
         at = at9[:ndif] + at9[ndif:2 * ndif] + at9[2 * ndif:]
-        return prim >= 0, onehot, at.reshape(ndif, RAY_SUB, LANES)
+        return hit, onehot, at.reshape(ndif, RAY_SUB, LANES)
 
-    def accum_tab(dtab_acc, onehot, d_at):
+    def accum_tab(dtab_acc, key, d_at):
         """Cotangent accumulation with the THREE-chunk bf16 split: every
         f32 splits exactly into 3 bf16 chunks, the one-hot is 0/1, and the
         MXU accumulates in f32 — HIGHEST-equivalent accuracy at half its
-        passes (see pallas_shade.py's matching note)."""
+        passes (see pallas_shade.py's matching note). Grouped mode
+        scatters per 128-primitive block into the VMEM scratch (miss
+        lanes carry provably-zero cotangent rows — every contribution is
+        gated upstream — so excluding them from the range drops
+        nothing)."""
         d = d_at.reshape(ndif, TILE)
         p0 = d.astype(jnp.bfloat16).astype(_F32)
         pr = d - p0
         p1 = pr.astype(jnp.bfloat16).astype(_F32)
         planes9 = jnp.concatenate([p0, p1, pr - p1], axis=0)  # [3*ndif, T]
+        if grouped:
+            pc, hit = key
+            pcf = pc.reshape(1, TILE)
+            pmin = jnp.min(jnp.where(hit, pc, P - 1))
+            pmax = jnp.max(jnp.where(hit, pc, 0))
+
+            def blk_body(bk, c):
+                off = pl.multiple_of(bk * PBLK, PBLK)
+                oh = (pb_iota == (pcf - bk * PBLK)).astype(_F32)
+                pb = jax.lax.dot_general(
+                    oh, planes9, (((1,), (1,)), ((), ())),
+                    preferred_element_type=_F32,
+                    precision=jax.lax.Precision.DEFAULT)  # [PBLK, 3*ndif]
+                dtab_scr[pl.ds(off, PBLK), :] += (
+                    pb[:, :ndif] + pb[:, ndif:2 * ndif]
+                    + pb[:, 2 * ndif:])
+                return c
+
+            jax.lax.fori_loop(pmin // PBLK, pmax // PBLK + 1, blk_body, 0)
+            return dtab_acc
         part = jax.lax.dot_general(
-            onehot, planes9, (((1,), (1,)), ((), ())),
+            key, planes9, (((1,), (1,)), ((), ())),
             preferred_element_type=_F32,
             precision=jax.lax.Precision.DEFAULT)  # [P, 3*ndif]
         return dtab_acc + (part[:, :ndif] + part[:, ndif:2 * ndif]
@@ -1249,20 +1335,18 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
         f0r = 0.04 * comm + at_cam_[4] * met
         f0g = 0.04 * comm + at_cam_[5] * met
         f0b = 0.04 * comm + at_cam_[6] * met
-        cargv = jnp.maximum(
-            (-cndv * alpha + cndv) * cndv + alpha, 1e-12)
-        csqv = cargv * jax.lax.rsqrt(cargv)
+        csqv = jnp.sqrt(jnp.maximum(
+            (-cndv * alpha + cndv) * cndv + alpha, 1e-12))
         vndv = jnp.abs(cndv_raw)
-        inv_nv2 = 1.0 / jnp.maximum(vndv * vndv, 1e-12)
+        nv2h = jnp.maximum(vndv * vndv, 1e-12)
         g1v = 2.0 / (1.0 + jnp.sqrt(
-            1.0 + (alpha * alpha) * (inv_nv2 - 1.0)))
-        viden = 1.0 / (4.0 * vndv + 1e-7)
+            1.0 + (alpha * alpha) * (1.0 - nv2h) / nv2h))
         return (dx, dy, dz, p_x, p_y, p_z, nhx, nhy, nhz,
                 at_cam_[4], at_cam_[5], at_cam_[6], met, rgh,
                 tx, ty, tz, bx, by, bz, vex, vey, vez,
                 t1x, t1y, t1z, t2x, t2y, t2z, alpha,
                 p_x + nhx * 1e-4, p_y + nhy * 1e-4, p_z + nhz * 1e-4,
-                vx, vy, vz, cndv, csqv, f0r, f0g, f0b, comm, g1v, viden)
+                vx, vy, vz, cndv, csqv, f0r, f0g, f0b, comm, g1v, vndv)
 
     cs, vjp_hoist = jax.vjp(hoist_stage, at_cam, camp0)
 
@@ -1277,8 +1361,8 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
         reach1 = (srec & 1) == 1
         reach2 = ((srec >> 1) & 1) == 1
         reach3 = ((srec >> 2) & 1) == 1
-        code_c = (srec >> 3) & 1023
-        code_v = (srec >> 13) & 1023
+        code_c = (srec >> REC_SHIFT_C) & REC_CODE_MASK
+        code_v = (srec >> REC_SHIFT_V) & REC_CODE_MASK
         # Fetch/accumulate only for the strategies that are enabled (the
         # masks are static; the debug bisection knob then measures each
         # strategy's true cost including its fetch site).
@@ -1311,7 +1395,13 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
     for c in range(3):
         zlight[L_E + c] = jnp.where(cam_hit_light, g3[c], 0.0)
 
-    dtab0 = jnp.zeros((P, ndif), _F32)
+    if grouped:
+        # Grouped cotangents accumulate in the VMEM scratch (block-range
+        # dynamic stores); the fori carry holds only a dummy.
+        dtab_scr[...] = jnp.zeros_like(dtab_scr)
+        dtab0 = jnp.zeros((8, LANES), _F32)
+    else:
+        dtab0 = jnp.zeros((P, ndif), _F32)
     d_cs0 = tuple(zero for _ in range(NCS))
     d_cs, dtab_acc, dlightp = jax.lax.fori_loop(
         0, s_per, one_sample, (d_cs0, dtab0, tuple(zlight)))
@@ -1324,7 +1414,7 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
         dtab_ref[...] = jnp.zeros_like(dtab_ref)
         dscal_ref[...] = jnp.zeros_like(dscal_ref)
 
-    dtab_ref[...] += dtab_acc
+    dtab_ref[...] += dtab_scr[...] if grouped else dtab_acc
     scal_row = jnp.concatenate(
         [jnp.sum(p).reshape(1, 1) for p in (dcamp + dlightp)], axis=1)
     dscal_ref[...] += scal_row
@@ -1332,18 +1422,31 @@ def _mis_bwd_kernel(config: RenderConfig, n_pixels: int, n_prims: int,
 
 def _bwd_pallas(config: RenderConfig, n_prims: int, num_spheres: int,
                 g_planes, recs, tab, cam_vec, light_vec, stab,
-                interpret: bool):
+                interpret: bool, grouped: bool = False, rid_base=None,
+                local_n=None):
     n_pixels = config.num_pixels
-    n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
+    local_n = n_pixels if local_n is None else local_n
+    if rid_base is None:
+        rid_base = jnp.zeros((1, 1), jnp.int32)
+    n_padded = ((local_n + TILE - 1) // TILE) * TILE
     cr_n = config.camera_rays
     s_per = config.mis_samples // 3
     grid = (n_padded // TILE, cr_n)
     ndif = NDIF_SPH if num_spheres else NDIF
+    # Grouped mode: ``tab`` arrives TRANSPOSED [P_pad, ndif]; the dtab
+    # output covers the padding rows (their cotangents are zero — no
+    # record ever points at them) and is sliced by the caller.
+    p_out = tab.shape[0] if grouped else n_prims
+    tab_spec = (pl.BlockSpec((tab.shape[0], ndif), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)
+                if grouped else
+                pl.BlockSpec((ndif, n_prims), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM))
 
     ray_spec = pl.BlockSpec((RAY_SUB, LANES), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = partial(_mis_bwd_kernel, config, n_pixels, n_prims,
-                     num_spheres)
+                     num_spheres, grouped)
     dtab, dscal = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1355,8 +1458,9 @@ def _bwd_pallas(config: RenderConfig, n_prims: int, num_spheres: int,
             pl.BlockSpec((RAY_SUB * s_per, LANES),
                          lambda i, j: (i * cr_n + j, 0),
                          memory_space=pltpu.VMEM),           # sample records
-            pl.BlockSpec((ndif, n_prims), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),           # diff table
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),           # rid_base
+            tab_spec,                                        # diff table
             pl.BlockSpec((1, NCAM), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),           # camera
             pl.BlockSpec((1, NLIGHT), lambda i, j: (0, 0),
@@ -1365,16 +1469,19 @@ def _bwd_pallas(config: RenderConfig, n_prims: int, num_spheres: int,
                          memory_space=pltpu.SMEM),           # sample tables
         ],
         out_specs=(
-            pl.BlockSpec((n_prims, ndif), lambda i, j: (0, 0),
+            pl.BlockSpec((p_out, ndif), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NSCAL), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(jax.ShapeDtypeStruct((n_prims, ndif), _F32),
+        out_shape=(jax.ShapeDtypeStruct((p_out, ndif), _F32),
                    jax.ShapeDtypeStruct((1, NSCAL), _F32)),
+        scratch_shapes=([pltpu.VMEM((p_out, ndif), _F32)] if grouped
+                        else []),
         interpret=interpret,
-    )(*g_planes, *recs, tab, cam_vec, light_vec, stab)
-    return dtab, dscal
+    )(*g_planes, *recs, jnp.asarray(rid_base, jnp.int32).reshape(1, 1),
+      tab, cam_vec, light_vec, stab)
+    return dtab[:n_prims], dscal
 
 
 # ---------------------------------------------------------------------------
@@ -1382,38 +1489,50 @@ def _bwd_pallas(config: RenderConfig, n_prims: int, num_spheres: int,
 # backward = the kernel above.
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _attach_grad_mis(config: RenderConfig, interpret, hdr, tab, cam_vec,
-                     light_vec, stab, recs):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _attach_grad_mis(config: RenderConfig, interpret, grouped, hdr, tab,
+                     cam_vec, light_vec, stab, recs, rid_base):
     return hdr
 
 
-def _attach_fwd(config, interpret, hdr, tab, cam_vec, light_vec, stab,
-                recs):
-    return hdr, (tab, cam_vec, light_vec, stab, recs)
+def _attach_fwd(config, interpret, grouped, hdr, tab, cam_vec, light_vec,
+                stab, recs, rid_base):
+    return hdr, (tab, cam_vec, light_vec, stab, recs, rid_base)
 
 
-def _attach_bwd(config, interpret, resids, g):
+def _attach_bwd(config, interpret, grouped, resids, g):
     import numpy as np
-    tab, cam_vec, light_vec, stab, recs = resids
+    tab, cam_vec, light_vec, stab, recs, rid_base = resids
     n_prims = tab.shape[1]
     num_spheres = 1 if tab.shape[0] == NDIF_SPH else 0
-    n_pixels = config.num_pixels
-    n_padded = ((n_pixels + TILE - 1) // TILE) * TILE
+    # Shard-local cotangent ([H, W, 3] single-chip; flat [local, 3] under
+    # shard_map).
+    local_n = g.shape[0] * (g.shape[1] if g.ndim == 3 else 1)
+    n_padded = ((local_n + TILE - 1) // TILE) * TILE
 
     gs = g.reshape(-1, 3)
-    gs = jnp.pad(gs, ((0, n_padded - n_pixels), (0, 0)))
+    gs = jnp.pad(gs, ((0, n_padded - local_n), (0, 0)))
     g_planes = tuple(gs[:, c].reshape(-1, LANES) for c in range(3))
 
+    if grouped:
+        # Transposed PBLK-padded view for the block-contracted kernel (a
+        # linear re-layout — the sliced dtab maps straight back).
+        p_pad = ((n_prims + PBLK - 1) // PBLK) * PBLK
+        tab_in = jnp.pad(tab, ((0, 0), (0, p_pad - n_prims))).T
+    else:
+        tab_in = tab
     dtab, dscal = _bwd_pallas(config, n_prims, num_spheres, g_planes, recs,
-                              tab, cam_vec, light_vec, stab, interpret)
+                              tab_in, cam_vec, light_vec, stab, interpret,
+                              grouped=grouped, rid_base=rid_base,
+                              local_n=local_n)
     d_tab = dtab.T              # [ndif, P]; is_em/is_sphere rows are zero
     d_cam = dscal[:, 0:NCAM]
     d_light = dscal[:, NCAM:NSCAL]
     d_stab = jnp.zeros_like(stab)        # stop-gradient'd RNG draws
     d_recs = jax.tree.map(
         lambda x: np.zeros(x.shape, jax.dtypes.float0), recs)
-    return g, d_tab, d_cam, d_light, d_stab, d_recs
+    d_rid = np.zeros(rid_base.shape, jax.dtypes.float0)
+    return g, d_tab, d_cam, d_light, d_stab, d_recs, d_rid
 
 
 _attach_grad_mis.defvjp(_attach_fwd, _attach_bwd)
@@ -1512,20 +1631,46 @@ def render_mis_fused(scene: Scene, config: RenderConfig,
                      interpret=None, occluders=None) -> jnp.ndarray:
     """Variant-A differentiable MIS render at megakernel speed: the trace
     kernel's hdr with the record-replay Pallas backward attached. Handles
-    triangle and sphere scenes (sphere lanes replay the analytic quadratic
-    inside the in-kernel vjp — center/radius gradients at kernel speed).
-    Returns [H, W, 3] raw accumulated HDR. ``occluders``: optional
+    triangle and sphere scenes (sphere lanes replay the analytic
+    quadratic with hand-derived reverses — center/radius gradients at
+    kernel speed) at ANY triangle count: past
+    pallas_path.STATIC_UNROLL_MAX the trace kernel and this backward both
+    switch to grouped block-contracted traversal/fetch. Returns
+    [H, W, 3] raw accumulated HDR. ``occluders``: optional
     ``intersect.potential_occluders(scene, config)`` static tuple culling
     provably-non-occluding triangles from the light probes."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    grouped = scene.triangles.num_triangles > STATIC_UNROLL_MAX
     hdr, recs = _render_mis_impl(jax.lax.stop_gradient(scene), config,
                                  interpret=interpret, emit_records=True,
                                  occluders=occluders)
     tab, cam_vec, light_vec = _pack_diff_inputs_mis(scene, config)
     stab = _sample_tables(config)
-    return _attach_grad_mis(config, interpret, hdr, tab, cam_vec, light_vec,
-                            stab, tuple(recs))
+    return _attach_grad_mis(config, interpret, grouped, hdr, tab, cam_vec,
+                            light_vec, stab, tuple(recs),
+                            jnp.zeros((1, 1), jnp.int32))
+
+
+def render_mis_fused_local(scene: Scene, config: RenderConfig, local_n,
+                           rid_base, interpret=None, occluders=None):
+    """Shard-local fused MIS render for use inside ``shard_map``
+    (parallel/fast.render_mis_fused_sharded): renders the pixels
+    [rid_base, rid_base + local_n) and returns flat [local_n, 3] hdr with
+    the hand-written backward attached. Cotangents for the replicated
+    scene parameters are per-shard partials — shard_map's transpose
+    inserts the psum."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    grouped = scene.triangles.num_triangles > STATIC_UNROLL_MAX
+    hdr, recs = _render_mis_impl(jax.lax.stop_gradient(scene), config,
+                                 interpret=interpret, emit_records=True,
+                                 occluders=occluders, local_n=local_n,
+                                 rid_base=rid_base, flat_output=True)
+    tab, cam_vec, light_vec = _pack_diff_inputs_mis(scene, config)
+    stab = _sample_tables(config)
+    return _attach_grad_mis(config, interpret, grouped, hdr, tab, cam_vec,
+                            light_vec, stab, tuple(recs), rid_base)
 
 
 def render_mis_decoupled(scene: Scene, config: RenderConfig,

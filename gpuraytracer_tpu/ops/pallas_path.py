@@ -243,21 +243,33 @@ GROUP_AABB_PAD = 1e-3
 T_FAR_SLACK = 1e-3
 
 
-def _sample_chunk_for(config: RenderConfig, records_only: bool) -> int:
+def _sample_chunk_for(config: RenderConfig, records_only: bool,
+                      grouped_prims: int = 0) -> int:
     """Samples per grid step for record-emitting runs: whole-spp when the
     staged record blocks fit comfortably in VMEM, else the largest divisor
     of spp whose block set stays <= ~3 MB (Pallas double-buffers output
     blocks across the sample grid dim — this is what lets BASELINE config
-    5's 1024^2 x 256 spp record stream exist without a >12 MB VMEM block)."""
+    5's 1024^2 x 256 spp record stream exist without a >12 MB VMEM block).
+
+    ``grouped_prims``: padded primitive count of a GROUPED-tier scene —
+    its VMEM-resident tables (transposed fetch table in the trace kernel;
+    table + dtab output + scratch in the backward, ~200 B/prim total) eat
+    into the block budget, so the chunk shrinks with scene size (measured:
+    12.8k tris overflowed the 16 MB scoped limit by 0.5 MB at the
+    ungrouped chunk choice). MUST be passed identically by the record
+    EMITTER and the record CONSUMER — the record-plane block layout is
+    this chunk size."""
     per_sample = config.bounces * RAY_SUB * LANES * 4      # records (i32)
     if not records_only:
         per_sample = per_sample * 5 + 2 * RAY_SUB * LANES * 4  # + uv/jitter
-    if config.spp * per_sample <= (6 << 20):
+    reserve = 200 * grouped_prims
+    if config.spp * per_sample <= (6 << 20) - reserve:
         return config.spp
-    c = max(1, min(config.spp, (3 << 20) // per_sample))
+    c = max(1, min(config.spp,
+                   max((1 << 20), (3 << 20) - reserve) // per_sample))
     while config.spp % c:
         c -= 1
-    return c
+    return max(c, 1)
 
 
 def _draws_kernel(config: RenderConfig, s_chunk: int,
@@ -304,7 +316,7 @@ def _draws_kernel(config: RenderConfig, s_chunk: int,
 def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
                  num_spheres: int, emit_records: bool, records_only: bool,
                  s_chunk: int, occluders, grouped: bool, n_shadow: int,
-                 blocked: bool,
+                 blocked: bool, share_shadow: bool,
                  offsets_ref, rid_base_ref, cam_ref, light_ref, tri_ref,
                  sph_ref, atab_ref, *rest):
     """One [RAY_SUB, 128] tile of rays: full spp x bounces path trace.
@@ -326,8 +338,16 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
     precedes the other rest-args. Padding columns are all-zero, so their
     plane tests fail the |den| guard and can never win."""
     if grouped:
-        (shadow_ref, aabb_ref, sup_ref, sh_aabb_ref, sh_sup_ref) = rest[:5]
-        rest = rest[5:]
+        if share_shadow:
+            # One geometry/AABB table set for both loops (SMEM budget —
+            # see _render_pallas_impl's share_shadow note).
+            aabb_ref, sup_ref = rest[:2]
+            rest = rest[2:]
+            shadow_ref, sh_aabb_ref, sh_sup_ref = tri_ref, aabb_ref, sup_ref
+        else:
+            (shadow_ref, aabb_ref, sup_ref,
+             sh_aabb_ref, sh_sup_ref) = rest[:5]
+            rest = rest[5:]
     else:
         shadow_ref = aabb_ref = sup_ref = sh_aabb_ref = sh_sup_ref = None
     reads_draws = emit_records and not records_only
@@ -859,6 +879,65 @@ def _path_kernel(config: RenderConfig, n_pixels: int, num_tris: int,
         out_b_ref[...] = acc_b * inv_spp
 
 
+def group_aabbs(verts):
+    """[T, 3, 3] verts -> two-level AABB tables: per-GROUP [6, ng_pad]
+    and per-SUPER [6, n_super] (rows: lo xyz, hi xyz). The trailing
+    partial group is padded with copies of the last triangle so padding
+    never widens a box; the group table is then padded to a SUPER
+    multiple with SENTINEL point-boxes at 1e20 whose slab test rejects
+    every ray (their geometry columns are never read — the cond skips
+    the body). Conservative margin: GROUP_AABB_PAD + 1e-5 relative.
+    Module-level: shared by the path AND the grouped MIS packers."""
+    n = verts.shape[0]
+    ng = max(1, (n + GROUP - 1) // GROUP)
+    pad = ng * GROUP - n
+    v = jnp.concatenate(
+        [verts, jnp.broadcast_to(verts[-1:], (pad, 3, 3))]) \
+        if pad else verts
+    v = v.reshape(ng, GROUP * 3, 3)
+    margin = GROUP_AABB_PAD + 1e-5 * jnp.max(jnp.abs(verts))
+    lo = jnp.min(v, axis=1) - margin      # [ng, 3]
+    hi = jnp.max(v, axis=1) + margin
+    n_super = (ng + SUPER - 1) // SUPER
+    gpad = n_super * SUPER - ng
+    lo_p = jnp.concatenate([lo, jnp.full((gpad, 3), 1e20, _F32)])
+    hi_p = jnp.concatenate([hi, jnp.full((gpad, 3), -1e20, _F32)])
+    slo = jnp.min(lo_p.reshape(n_super, SUPER, 3), axis=1)
+    shi = jnp.max(hi_p.reshape(n_super, SUPER, 3), axis=1)
+    # Sentinel groups: point boxes at +1e20 (lo == hi == 1e20 rejects
+    # every forward interval; see _safe_inv's conservativeness note).
+    hi_p = jnp.where(hi_p <= -1e20, 1e20, hi_p)
+    gtab = jnp.concatenate([lo_p.T, hi_p.T], axis=0).astype(_F32)
+    stab = jnp.concatenate([slo.T, shi.T], axis=0).astype(_F32)
+    return gtab, stab  # [6, ng_pad], [6, n_super]
+
+
+def pad_geo(x):
+    """Zero-pad geometry columns to SUPER * GROUP granularity so
+    sentinel groups' columns exist (never read — their AABB rejects)."""
+    mult = SUPER * GROUP
+    p = ((x.shape[1] + mult - 1) // mult) * mult
+    return jnp.pad(x, ((0, 0), (0, p - x.shape[1])))
+
+
+def pack_shadow_tables(tri, verts, occluders, tri_geo, aabb_main,
+                       sup_main):
+    """Dense occluder-culled shadow geometry + its two-level AABB tables
+    (falls back to the main tables when no cull is supplied)."""
+    if occluders is None:
+        return tri_geo, aabb_main, sup_main
+    keep = [i for i, k in enumerate(occluders) if k]
+    if keep:
+        kidx = jnp.asarray(keep, jnp.int32)
+        shadow_geo = pad_geo(tri[:12, kidx])
+        aabb_shadow, sup_shadow = group_aabbs(verts[kidx])
+    else:
+        shadow_geo = jnp.zeros((12, SUPER * GROUP), _F32)
+        aabb_shadow = jnp.full((6, SUPER), 1e20, _F32)
+        sup_shadow = jnp.full((6, 1), 1e20, _F32)
+    return shadow_geo, aabb_shadow, sup_shadow
+
+
 def _pack_inputs(scene: Scene, config: RenderConfig, grouped: bool = False,
                  occluders=None):
     """Host-side marshalling: triangle constants to a [NROWS, T] table,
@@ -938,64 +1017,11 @@ def _pack_inputs(scene: Scene, config: RenderConfig, grouped: bool = False,
     if not grouped:
         return tri, cam_vec, light_vec, sph, atab
 
-    def pad_cols(x, mult):
-        p = ((x.shape[1] + mult - 1) // mult) * mult
-        return jnp.pad(x, ((0, 0), (0, p - x.shape[1])))
-
-    def group_aabbs(verts):
-        """[T, 3, 3] verts -> two-level AABB tables: per-GROUP [6, ng_pad]
-        and per-SUPER [6, n_super] (rows: lo xyz, hi xyz). The trailing
-        partial group is padded with copies of the last triangle so padding
-        never widens a box; the group table is then padded to a SUPER
-        multiple with SENTINEL point-boxes at 1e20 whose slab test rejects
-        every ray (their geometry columns are never read — the cond skips
-        the body). Conservative margin: GROUP_AABB_PAD + 1e-5 relative."""
-        n = verts.shape[0]
-        ng = max(1, (n + GROUP - 1) // GROUP)
-        pad = ng * GROUP - n
-        v = jnp.concatenate(
-            [verts, jnp.broadcast_to(verts[-1:], (pad, 3, 3))]) \
-            if pad else verts
-        v = v.reshape(ng, GROUP * 3, 3)
-        margin = GROUP_AABB_PAD + 1e-5 * jnp.max(jnp.abs(verts))
-        lo = jnp.min(v, axis=1) - margin      # [ng, 3]
-        hi = jnp.max(v, axis=1) + margin
-        n_super = (ng + SUPER - 1) // SUPER
-        gpad = n_super * SUPER - ng
-        lo_p = jnp.concatenate([lo, jnp.full((gpad, 3), 1e20, _F32)])
-        hi_p = jnp.concatenate([hi, jnp.full((gpad, 3), -1e20, _F32)])
-        slo = jnp.min(lo_p.reshape(n_super, SUPER, 3), axis=1)
-        shi = jnp.max(hi_p.reshape(n_super, SUPER, 3), axis=1)
-        # Sentinel groups: point boxes at +1e20 (lo == hi == 1e20 rejects
-        # every forward interval; see _safe_inv's conservativeness note).
-        hi_p = jnp.where(hi_p <= -1e20, 1e20, hi_p)
-        gtab = jnp.concatenate([lo_p.T, hi_p.T], axis=0).astype(_F32)
-        stab = jnp.concatenate([slo.T, shi.T], axis=0).astype(_F32)
-        return gtab, stab  # [6, ng_pad], [6, n_super]
-
-    def pad_geo(x):
-        """Zero-pad geometry columns to SUPER * GROUP granularity so
-        sentinel groups' columns exist (never read — their AABB rejects)."""
-        mult = SUPER * GROUP
-        p = ((x.shape[1] + mult - 1) // mult) * mult
-        return jnp.pad(x, ((0, 0), (0, p - x.shape[1])))
-
     verts = jnp.asarray(scene.triangles.verts, _F32)
     tri_geo = pad_geo(tri[:12])                      # [12, P_gpad]
     aabb_main, sup_main = group_aabbs(verts)
-    if occluders is not None:
-        keep = [i for i, k in enumerate(occluders) if k]
-        if keep:
-            kidx = jnp.asarray(keep, jnp.int32)
-            shadow_geo = pad_geo(tri[:12, kidx])
-            aabb_shadow, sup_shadow = group_aabbs(verts[kidx])
-        else:
-            shadow_geo = jnp.zeros((12, SUPER * GROUP), _F32)
-            aabb_shadow = jnp.full((6, SUPER), 1e20, _F32)
-            sup_shadow = jnp.full((6, 1), 1e20, _F32)
-    else:
-        shadow_geo = tri_geo
-        aabb_shadow, sup_shadow = aabb_main, sup_main
+    shadow_geo, aabb_shadow, sup_shadow = pack_shadow_tables(
+        tri, verts, occluders, tri_geo, aabb_main, sup_main)
     n_pad = ((atab.shape[1] + PBLK - 1) // PBLK) * PBLK
     atab_t = jnp.pad(atab, ((0, 0), (0, n_pad - atab.shape[1]))).T
     return (tri_geo, cam_vec, light_vec, sph, atab_t, shadow_geo,
@@ -1012,10 +1038,13 @@ def pregen_draws_for(scene: Scene, config: RenderConfig, interpret=None):
     off = pixel_rng_offsets(config)
     if use_blocked_tiles(config, grouped, False):
         off = to_blocked(off, config)
-    return pregen_draws(config, off, interpret)
+    gp = (((scene.triangles.num_triangles + SUPER * GROUP - 1)
+           // (SUPER * GROUP)) * SUPER * GROUP) if grouped else 0
+    return pregen_draws(config, off, interpret, grouped_prims=gp)
 
 
-def pregen_draws(config: RenderConfig, local_offsets=None, interpret=None):
+def pregen_draws(config: RenderConfig, local_offsets=None, interpret=None,
+                 grouped_prims: int = 0):
     """Pregenerate the trace kernel's random draws (camera jitter +
     per-bounce NEE/cosine u-pairs) as tile-major planes — a pure function of
     (config, pixel offsets), hence STEP-INVARIANT across a training or
@@ -1032,7 +1061,10 @@ def pregen_draws(config: RenderConfig, local_offsets=None, interpret=None):
     n_padded = ((n_local + TILE - 1) // TILE) * TILE
     offsets = jnp.pad(local_offsets,
                       (0, n_padded - n_local)).reshape(-1, LANES)
-    s_chunk = _sample_chunk_for(config, False)
+    # grouped_prims must match the consuming trace kernel's chunk choice
+    # (the plane row layout IS the chunk size) — pregen_draws_for threads
+    # it from the scene.
+    s_chunk = _sample_chunk_for(config, False, grouped_prims=grouped_prims)
     n_schunks = config.spp // s_chunk
     grid = (n_padded // TILE, n_schunks)
     nsb = config.spp * config.bounces
@@ -1112,7 +1144,9 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
     n_padded = ((n_local + TILE - 1) // TILE) * TILE
     offsets = jnp.pad(local_offsets, (0, n_padded - n_local)).reshape(-1, LANES)
 
-    s_chunk = _sample_chunk_for(config, records_only) if emit_records \
+    s_chunk = _sample_chunk_for(
+        config, records_only,
+        grouped_prims=tri.shape[1] if grouped else 0) if emit_records \
         else config.spp
     n_schunks = config.spp // s_chunk
     if emit_records:
@@ -1129,10 +1163,20 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
         assert len(occluders) == num_tris, (len(occluders), num_tris)
         occluders = tuple(bool(x) for x in occluders)
     n_shadow = (sum(occluders) if occluders is not None else num_tris)
+    # SMEM holds ~1 MB of scoped windows; a separate occluder-culled shadow
+    # geometry table doubles the per-table cost, which overflows past ~7k
+    # triangles (measured: 12.8k tris = 808K + 648K > 1 MB). Above the
+    # budget (or when there is no cull) the shadow loop traverses the MAIN
+    # table + AABBs instead — occlusion decisions are identical (the cull
+    # only ever removes provably-non-occluding triangles); only the cull's
+    # throughput win is given back at extreme scene sizes.
+    share_shadow = grouped and (
+        shadow_geo is tri
+        or 64 * (tri.shape[1] + shadow_geo.shape[1]) > 900_000)
     kernel = partial(_path_kernel, config, n_pixels, num_tris, num_spheres,
                      emit_records, records_only, s_chunk,
                      None if grouped else occluders, grouped, n_shadow,
-                     blocked)
+                     blocked, share_shadow)
     plane = jax.ShapeDtypeStruct((n_padded // LANES, LANES), _F32)
     out_specs = pl.BlockSpec((RAY_SUB, LANES), tile_ix,
                              memory_space=pltpu.VMEM)
@@ -1170,7 +1214,8 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
                         f" {[g[0] for g in got]} — regenerate with"
                         " pallas_path.pregen_draws(config, local_offsets)")
             draw_arrays = tuple(draws) if draws is not None else \
-                pregen_draws(config, local_offsets, interpret)
+                pregen_draws(config, local_offsets, interpret,
+                             grouped_prims=tri.shape[1] if grouped else 0)
             draw_specs = [sb_spec] * 4 + [s_spec] * 2
     if draws is not None and (records_only or not emit_records):
         # A caller-supplied pregen that this mode cannot consume is a bug at
@@ -1188,19 +1233,31 @@ def _render_pallas_impl(scene: Scene, config: RenderConfig,
                          memory_space=pltpu.SMEM),    # spheres
             pl.BlockSpec(tuple(atab.shape), const_ix,
                          memory_space=pltpu.VMEM),    # transposed fetch table
-            pl.BlockSpec((12, shadow_geo.shape[1]), const_ix,
-                         memory_space=pltpu.SMEM),    # packed shadow tris
-            pl.BlockSpec((6, aabb_main.shape[1]), const_ix,
-                         memory_space=pltpu.SMEM),    # group AABBs (closest)
-            pl.BlockSpec((6, sup_main.shape[1]), const_ix,
-                         memory_space=pltpu.SMEM),    # super AABBs (closest)
-            pl.BlockSpec((6, aabb_shadow.shape[1]), const_ix,
-                         memory_space=pltpu.SMEM),    # group AABBs (shadow)
-            pl.BlockSpec((6, sup_shadow.shape[1]), const_ix,
-                         memory_space=pltpu.SMEM),    # super AABBs (shadow)
         ]
-        geo_args = (tri, sph, atab, shadow_geo, aabb_main, sup_main,
-                    aabb_shadow, sup_shadow)
+        if share_shadow:
+            # One geometry table for both loops (see share_shadow above).
+            geo_specs += [
+                pl.BlockSpec((6, aabb_main.shape[1]), const_ix,
+                             memory_space=pltpu.SMEM),  # group AABBs
+                pl.BlockSpec((6, sup_main.shape[1]), const_ix,
+                             memory_space=pltpu.SMEM),  # super AABBs
+            ]
+            geo_args = (tri, sph, atab, aabb_main, sup_main)
+        else:
+            geo_specs += [
+                pl.BlockSpec((12, shadow_geo.shape[1]), const_ix,
+                             memory_space=pltpu.SMEM),  # packed shadow tris
+                pl.BlockSpec((6, aabb_main.shape[1]), const_ix,
+                             memory_space=pltpu.SMEM),  # group AABBs (closest)
+                pl.BlockSpec((6, sup_main.shape[1]), const_ix,
+                             memory_space=pltpu.SMEM),  # super AABBs (closest)
+                pl.BlockSpec((6, aabb_shadow.shape[1]), const_ix,
+                             memory_space=pltpu.SMEM),  # group AABBs (shadow)
+                pl.BlockSpec((6, sup_shadow.shape[1]), const_ix,
+                             memory_space=pltpu.SMEM),  # super AABBs (shadow)
+            ]
+            geo_args = (tri, sph, atab, shadow_geo, aabb_main, sup_main,
+                        aabb_shadow, sup_shadow)
     else:
         geo_specs = [
             pl.BlockSpec((NROWS, num_tris), const_ix,

@@ -724,7 +724,12 @@ def _bwd_pallas(config: RenderConfig, n_pixels: int, num_prims: int,
     from .pallas_path import _sample_chunk_for
     n_padded = ((n_local + TILE - 1) // TILE) * TILE
     recompute_rng = offsets is not None
-    s_chunk = _sample_chunk_for(config, recompute_rng)
+    # grouped_prims MUST match the record emitter's (the record-plane
+    # block layout is the chunk size); table is [P_pad, nrows] here and
+    # the emitter's geometry table has the same 128-padded column count.
+    s_chunk = _sample_chunk_for(
+        config, recompute_rng,
+        grouped_prims=table.shape[0] if grouped else 0)
     n_schunks = config.spp // s_chunk
     grid = (n_padded // TILE, n_schunks)
     csb = s_chunk * config.bounces

@@ -69,6 +69,43 @@ def render_path_fused_sharded(scene: Scene, config: RenderConfig, mesh,
     return hdr.reshape(config.height, config.width, 3)
 
 
+def render_mis_fused_sharded(scene: Scene, config: RenderConfig, mesh,
+                             interpret=None, occluders=None) -> jnp.ndarray:
+    """Differentiable variant-A MIS render, pixels sharded over ``rays``,
+    on the MIS trace kernel + hand-written backward (round 5 — the
+    flagship distributed capability is no longer integrator-shaped).
+    Returns the global [H, W, 3] hdr; sharded == single-chip bit-identical
+    per pixel (the kernels' jitter is a pure function of the global pixel
+    id threaded via rid_base)."""
+    from ..ops.pallas_mis_bwd import render_mis_fused_local
+
+    n_dev = mesh.shape[RAY_AXIS]
+    n_pixels = config.num_pixels
+    if n_pixels % n_dev:
+        raise ValueError(
+            f"{n_pixels} pixels must split evenly across {n_dev} devices")
+    local = n_pixels // n_dev
+    mesh = jax.make_mesh((n_dev,), (RAY_AXIS,),
+                         devices=list(mesh.devices.flat),
+                         axis_types=(jax.sharding.AxisType.Auto,))
+    # The kernel needs no per-pixel input; a sharded dummy pins the output
+    # layout (see render_path_fused_sharded's check_vma note).
+    dummy = jnp.zeros((n_pixels,), jnp.int32)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(RAY_AXIS)), out_specs=P(RAY_AXIS),
+             check_vma=False)
+    def run(scene_, dummy_):
+        k = jax.lax.axis_index(RAY_AXIS)
+        rid_base = (k * local).astype(jnp.int32).reshape(1, 1)
+        return render_mis_fused_local(scene_, config, local, rid_base,
+                                      interpret=interpret,
+                                      occluders=occluders)
+
+    hdr = jax.jit(run)(scene, dummy)
+    return hdr.reshape(config.height, config.width, 3)
+
+
 def make_overlapped_grad_fn(scene_template: Scene, config: RenderConfig,
                             mesh, n_microtiles: int = 4, interpret=None):
     """Forward + backward + gradient all-reduce with the all-reduce

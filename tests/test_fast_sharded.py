@@ -121,3 +121,42 @@ def test_sharded_records_only_config5_shape(scene, mesh):
         if hasattr(a, "dtype") and a.dtype == jnp.float32 and a.size:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-7, rtol=1e-5)
+
+
+# ---- variant-A MIS sharding (round 5 — --devices is no longer
+# integrator-shaped) ------------------------------------------------------
+
+_MIS_CFG = RenderConfig(width=128, height=64, integrator="mis",
+                        camera_rays=2, mis_samples=6, pixel_chunk=2048)
+
+
+def test_sharded_mis_fused_matches_single_chip(scene, mesh):
+    from gpuraytracer_tpu.ops.pallas_mis_bwd import render_mis_fused
+    from gpuraytracer_tpu.parallel.fast import render_mis_fused_sharded
+
+    sharded = np.asarray(render_mis_fused_sharded(scene, _MIS_CFG, mesh))
+    single = np.asarray(render_mis_fused(scene, _MIS_CFG))
+    # Pixel math is identical (global-pixel jitter via rid_base); the only
+    # slack is fusion-context fp noise through the long MIS chains
+    # (measured 2.4e-6 max relative, zero decision flips).
+    np.testing.assert_allclose(sharded, single, atol=1e-6, rtol=1e-5)
+
+
+def test_sharded_mis_fused_grads_match_single_chip(scene, mesh):
+    from gpuraytracer_tpu.ops.pallas_mis_bwd import render_mis_fused
+    from gpuraytracer_tpu.parallel.fast import render_mis_fused_sharded
+
+    g_s = jax.grad(
+        lambda s: jnp.mean(render_mis_fused_sharded(s, _MIS_CFG, mesh)),
+        allow_int=True)(scene)
+    g_1 = jax.grad(lambda s: jnp.mean(render_mis_fused(s, _MIS_CFG)),
+                   allow_int=True)(scene)
+    for name in ["light", "triangles", "camera"]:
+        a = jax.tree.leaves(getattr(g_s, name))
+        b = jax.tree.leaves(getattr(g_1, name))
+        for x, y in zip(a, b):
+            if hasattr(x, "dtype") and x.dtype == jnp.float32:
+                y = np.asarray(y)
+                scale = max(np.abs(y).max(), 1e-6)
+                np.testing.assert_allclose(np.asarray(x), y,
+                                           atol=1e-5 * scale, rtol=1e-4)
